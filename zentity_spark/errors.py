@@ -1,0 +1,23 @@
+"""Error taxonomy.
+
+The reference distinguishes errors raised *by zentity* (validation of
+models/inputs, HTTP 400) from errors raised *by elasticsearch* (execution,
+HTTP 500) — see ZentityPlugin.java sendResponseError and the two error
+fixtures TestEntityModelZentityError.json / TestEntityModelElasticsearchError.json.
+We mirror that split: ValidationException for model/input problems,
+ZentityError for engine/execution problems.
+"""
+
+
+class ZentityError(Exception):
+    """Engine-side failure (reference: errors reported with by=zentity)."""
+
+    by = "zentity"
+
+
+class ValidationException(ZentityError):
+    """Invalid entity model or resolution input.
+
+    Reference: io.zentity.common.ValidationException — raised throughout
+    io.zentity.model.* and io.zentity.resolution.input.* parsing.
+    """
