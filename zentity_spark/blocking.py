@@ -1,0 +1,135 @@
+"""Blocking: per-resolver composite keys → candidate pairs.
+
+The reference's candidate generation is the resolver filter tree — the
+disjunction over resolvers of the conjunction over their attributes
+(Query.java:277-332) — executed by Elasticsearch's inverted index. The
+batch analog: each record emits, per resolver, the cartesian product of
+its per-attribute key sets as composite blocking keys; candidates are the
+equi-self-join on (resolver, key). Equality matchers contribute exact
+keys (a shared composite ⇒ those attributes truly match); date-window
+and fuzzy matchers contribute coarser recall keys and are re-verified
+pairwise (pairs.py).
+
+Scale notes (the part Elasticsearch did for the reference):
+- ONE self-join for all resolvers: per-resolver key rows are unioned
+  before the join, so Spark plans a single shuffle on (resolver, key).
+- AQE skew-join splitting is expected ON (pipeline sets
+  spark.sql.adaptive.skewJoin.enabled); a hot composite key (e.g. a
+  constant attribute value) otherwise serializes one task.
+- max_block_size caps degenerate blocks deterministically: blocks larger
+  than the cap are DROPPED and counted in the lineage metrics — a block
+  of b records creates b(b-1)/2 pairs, so an uncapped hot key is O(n²).
+  (The reference has the same guard in spirit: max_docs_per_query,
+  Job.java:70.)
+- max_keys_per_record caps the per-record composite-key explosion from
+  multi-valued attributes.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zentity_spark.compiler import CompiledModel
+
+SEP = "\x1f"
+
+
+def _composite_keys(attrs_col: Column, attributes: list[str],
+                    max_keys: int) -> Column:
+    """Cartesian product of per-attribute key sets (eq ∪ blk keys),
+    folded entirely with JVM higher-order functions — no Python per row.
+    Returns array<string>; empty when any attribute has no keys (the
+    record can't enter this resolver's blocks — canQueryResolver analog,
+    Job.java:315-346)."""
+    acc = F.array(F.lit(""))
+    for a in attributes:
+        entry = attrs_col.getItem(a)
+        keys = F.when(
+            entry.isNotNull(),
+            F.array_distinct(
+                F.concat(entry.getField("eq_keys"), entry.getField("blk_keys"))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        acc = F.flatten(
+            F.transform(
+                keys,
+                lambda k: F.transform(acc, lambda x: F.concat(x, F.lit(SEP), k)),
+            )
+        )
+    return F.slice(acc, 1, max_keys)
+
+
+def blocking_keys(records: DataFrame, compiled: CompiledModel,
+                  resolvers: list[str] | None = None,
+                  max_keys_per_record: int = 256) -> DataFrame:
+    """records (wide) → (resolver, ckey, record_id, source, attrs,
+    app_resolvers, attr_name_fields). One output row per composite key.
+
+    ckey is a 64-bit hash of the concatenated per-attribute keys: the
+    join key stays 8 bytes however wide the resolver is; collisions are
+    harmless because pairs.verify_pairs re-checks every attribute.
+    """
+    resolvers = resolvers if resolvers is not None else sorted(compiled.resolver_attrs)
+    parts = []
+    for r in resolvers:
+        attrs = compiled.resolver_attrs[r]
+        ck = _composite_keys(F.col("attrs"), attrs, max_keys_per_record)
+        keep = {a: True for a in attrs}
+        pruned = F.map_filter(F.col("attrs"), lambda k, v: k.isin(*keep))
+        parts.append(
+            records.select(
+                F.lit(r).alias("resolver"),
+                F.explode(ck).alias("ckey_s"),
+                "record_id",
+                "source",
+                pruned.alias("attrs"),
+                "app_resolvers",
+                "attr_name_fields",
+            ).withColumn("ckey", F.xxhash64("resolver", "ckey_s")).drop("ckey_s")
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+def candidate_pairs(blocks: DataFrame, max_block_size: int | None = 10000) -> tuple[DataFrame, DataFrame]:
+    """Self-join blocks on (resolver, ckey) → candidate pairs with both
+    sides' match material. Returns (candidates, dropped_blocks_metrics).
+
+    Oversized blocks (hot keys — skew) are excluded deterministically and
+    reported; at production scale pair generation inside such a block is
+    O(b²) and must be an explicit decision, not an accident.
+    """
+    if max_block_size is not None:
+        sizes = blocks.groupBy("resolver", "ckey").agg(F.count("*").alias("block_size"))
+        dropped = sizes.where(F.col("block_size") > max_block_size)
+        blocks = blocks.join(
+            F.broadcast(dropped.select("resolver", "ckey")),
+            ["resolver", "ckey"],
+            "left_anti",
+        )
+    else:
+        dropped = None
+
+    left = blocks.select(
+        "resolver", "ckey",
+        F.col("record_id").alias("id_l"),
+        F.col("attrs").alias("attrs_l"),
+        F.col("app_resolvers").alias("app_l"),
+        F.col("attr_name_fields").alias("fields_l"),
+    )
+    right = blocks.select(
+        "resolver", "ckey",
+        F.col("record_id").alias("id_r"),
+        F.col("attrs").alias("attrs_r"),
+        F.col("app_resolvers").alias("app_r"),
+        F.col("attr_name_fields").alias("fields_r"),
+    )
+    cand = (
+        left.join(right, ["resolver", "ckey"])
+        .where(F.col("id_l") < F.col("id_r"))
+        .drop("ckey")
+        .dropDuplicates(["resolver", "id_l", "id_r"])
+    )
+    return cand, dropped

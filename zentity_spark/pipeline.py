@@ -1,0 +1,131 @@
+"""Batch resolution pipeline: transcripts → clusters.
+
+Stage flow (SURVEY.md §3.1 "Spark equivalent lifecycle"):
+
+  1. scan + extract     transcripts → long values → wide records
+  2. blocking           per-resolver composite keys → candidate pairs
+  3. verification       vectorized matcher predicates → matched pairs
+  4. weight gating      → edges
+  5. clustering         large-star/small-star CC → clusters
+  6. (optional) entity closure — see below
+
+Entity closure: the reference matches documents against the ACCUMULATED
+value set of the growing entity (Job.java:1096-1113), so a document can
+join via a combination of values that no single prior document holds
+(e.g. resolver_b with attribute_b from doc X and attribute_c from doc Y).
+Pairwise edges can't see such cross-document combinations; the closure
+loop re-blocks CLUSTERS as super-records (their unioned value sets),
+finds inter-cluster matches, adds them as edges between cluster
+representatives (cluster id = min record id = a real record), re-runs CC,
+and repeats to fixpoint — exactly the accumulate-and-query semantics,
+amortized over all entities at once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zentity_spark.blocking import blocking_keys, candidate_pairs
+from zentity_spark.clustering import connected_components
+from zentity_spark.compiler import CompiledModel, compile_model
+from zentity_spark.model import Model
+from zentity_spark.pairs import gate_edges, verify_pairs
+from zentity_spark.transcripts import build_records, build_values, parse_turns
+
+
+@dataclass
+class ResolutionConfig:
+    max_block_size: int | None = 10_000
+    max_keys_per_record: int = 256
+    entity_closure: bool = True
+    closure_max_rounds: int = 10
+    cc_max_iterations: int = 50
+
+
+@dataclass
+class ResolutionResult:
+    records: DataFrame
+    pairs: DataFrame      # matched pairs + matched_resolvers (pre-gating)
+    edges: DataFrame      # post weight-gating (id_l, id_r)
+    clusters: DataFrame   # (record_id, cluster_id)
+    metrics: list = field(default_factory=list)
+
+
+def _cluster_assignments(records: DataFrame, edges: DataFrame,
+                         cc_max_iterations: int) -> DataFrame:
+    assignments = connected_components(
+        edges.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst")),
+        max_iterations=cc_max_iterations,
+    )
+    return (
+        records.select("record_id")
+        .join(assignments, "record_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "record_id"))
+    )
+
+
+def resolve_all(
+    spark: SparkSession,
+    turns: DataFrame,
+    model: Model | CompiledModel,
+    config: ResolutionConfig | None = None,
+) -> ResolutionResult:
+    """Resolve ALL entities in one batch."""
+    config = config or ResolutionConfig()
+    compiled = model if isinstance(model, CompiledModel) else compile_model(model)
+
+    parsed = parse_turns(turns)
+    values = build_values(spark, turns, compiled)
+    records = build_records(values, compiled, parsed).localCheckpoint()
+
+    blocks = blocking_keys(records, compiled, max_keys_per_record=config.max_keys_per_record)
+    cand, dropped = candidate_pairs(blocks, max_block_size=config.max_block_size)
+    pairs = verify_pairs(cand, compiled)
+    edges = gate_edges(pairs, compiled).localCheckpoint()
+    clusters = _cluster_assignments(records, edges, config.cc_max_iterations)
+
+    metrics = []
+    if dropped is not None:
+        metrics.append(("blocking.dropped_blocks", dropped))
+
+    if config.entity_closure:
+        clusters = _entity_closure(
+            spark, values, records, edges, clusters, compiled, config
+        )
+
+    return ResolutionResult(records=records, pairs=pairs, edges=edges,
+                            clusters=clusters, metrics=metrics)
+
+
+def _entity_closure(spark, values, records, edges, clusters, compiled, config) -> DataFrame:
+    """Iterate: re-block clusters as super-records until no merges."""
+    edges = edges.select("id_l", "id_r")
+    for _ in range(config.closure_max_rounds):
+        clusters = clusters.localCheckpoint()
+        n_clusters = clusters.select("cluster_id").distinct().count()
+        if n_clusters <= 1:
+            break
+
+        # cluster-level wide records: union of member value material.
+        cvalues = values.join(clusters, "record_id").drop("record_id").withColumnRenamed(
+            "cluster_id", "record_id"
+        )
+        crecords = build_records(cvalues, compiled, parsed=None)
+        cblocks = blocking_keys(
+            crecords, compiled, max_keys_per_record=config.max_keys_per_record
+        )
+        ccand, _ = candidate_pairs(cblocks, max_block_size=config.max_block_size)
+        cpairs = verify_pairs(ccand, compiled)
+        cedges = gate_edges(cpairs, compiled).select("id_l", "id_r")
+        if cedges.isEmpty():
+            break
+        # cluster ids are real record ids (component minimum) — new
+        # inter-cluster edges are just more record edges.
+        edges = edges.union(cedges).distinct().localCheckpoint()
+        clusters = _cluster_assignments(
+            records, edges.select(F.col("id_l"), F.col("id_r")), config.cc_max_iterations
+        )
+    return clusters
