@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- entry(spark): flagship — full entity-resolution pipeline
+  (transcripts → blocking → pairwise verify → connected components)
+  over transcripts derived from /root/testdata/sf0.001/events.parquet.
+- queries(): one entry per implemented operator from SURVEY.md §2 plus
+  the training-data-pipeline operators (dedup / ANN / text analysis /
+  multimodal plumbing).
+- oracle_sql(): DuckDB-runnable ANSI SQL equivalents (omitted only for
+  soundex, which DuckDB lacks → rows-only check).
 """
 
 from __future__ import annotations
@@ -13,26 +16,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: resolve all entities in the transcript table derived
+    from sf0.001 events, returning (record_id, cluster_id)."""
+    from zentity_spark.entry_queries import ER_MODEL, transcripts_from_events
+    from zentity_spark.model import Model
+    from zentity_spark.pipeline import ResolutionConfig, resolve_all
+
+    turns = transcripts_from_events(spark, SF_SMOKE)
+    result = resolve_all(
+        spark,
+        turns,
+        Model(ER_MODEL),
+        ResolutionConfig(entity_closure=False),
+    )
+    return result.clusters.orderBy("record_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from zentity_spark.entry_queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from zentity_spark.entry_queries import all_oracles
+
+    return all_oracles()

@@ -64,7 +64,8 @@ def _composite_keys(attrs_col: Column, attributes: list[str],
 
 def blocking_keys(records: DataFrame, compiled: CompiledModel,
                   resolvers: list[str] | None = None,
-                  max_keys_per_record: int = 256) -> DataFrame:
+                  max_keys_per_record: int = 256,
+                  hash_keys: bool = True) -> DataFrame:
     """records (wide) → (resolver, ckey, record_id, source, attrs,
     app_resolvers, attr_name_fields). One output row per composite key.
 
@@ -79,17 +80,20 @@ def blocking_keys(records: DataFrame, compiled: CompiledModel,
         ck = _composite_keys(F.col("attrs"), attrs, max_keys_per_record)
         keep = {a: True for a in attrs}
         pruned = F.map_filter(F.col("attrs"), lambda k, v: k.isin(*keep))
-        parts.append(
-            records.select(
-                F.lit(r).alias("resolver"),
-                F.explode(ck).alias("ckey_s"),
-                "record_id",
-                "source",
-                pruned.alias("attrs"),
-                "app_resolvers",
-                "attr_name_fields",
-            ).withColumn("ckey", F.xxhash64("resolver", "ckey_s")).drop("ckey_s")
+        part = records.select(
+            F.lit(r).alias("resolver"),
+            F.explode(ck).alias("ckey_s"),
+            "record_id",
+            "source",
+            pruned.alias("attrs"),
+            "app_resolvers",
+            "attr_name_fields",
         )
+        if hash_keys:
+            part = part.withColumn("ckey", F.xxhash64("resolver", "ckey_s")).drop("ckey_s")
+        else:
+            part = part.withColumnRenamed("ckey_s", "ckey")
+        parts.append(part)
     return reduce(DataFrame.unionByName, parts)
 
 

@@ -1,0 +1,802 @@
+"""Driver-contract queries: one entry per implemented operator
+(SURVEY.md §2), each with an ANSI-SQL DuckDB oracle where expressible.
+
+The ER queries run over a transcripts table DERIVED DETERMINISTICALLY
+from the driver's `events` table (BASELINE input_hint shape: conv_id,
+turn_idx, role, text, tool, ts): conv_id = user_id, one turn per event
+ordered by (ts, event_id), text = `<event_type>=<k>` with k extracted
+from the props JSON. Both the Spark queries and the SQL oracles derive
+it with the same expressions, so correctness is checked end to end.
+
+Training-data-pipeline operators (dedup / similarity / text analysis)
+run over the `documents` and `embeddings` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zentity_spark.model import Model
+from zentity_spark.compiler import compile_model
+from zentity_spark.transcripts import build_records, build_values
+from zentity_spark.blocking import blocking_keys, candidate_pairs
+from zentity_spark.scoring import composite_score_col
+from zentity_spark.matchers import jaro_winkler_udf
+
+SEP = "\x1f"
+
+# ----------------------------------------------------------------------
+# Shared derivations
+
+# the entity model used by the ER contract queries: conversations link
+# when they share an error-k value, or share both a click-k AND a view-k
+# (multi-attribute resolver). Physical paths are the event_type names.
+ER_MODEL = {
+    "attributes": {"k_click": {}, "k_error": {}, "k_view": {}},
+    "resolvers": {
+        "r_error": {"attributes": ["k_error"]},
+        "r_click_view": {"attributes": ["k_click", "k_view"]},
+    },
+    "matchers": {"exact": {"clause": {"term": {"{{ field }}": "{{ value }}"}}}},
+    "indices": {
+        "default": {
+            "fields": {
+                "click": {"attribute": "k_click", "matcher": "exact"},
+                "error": {"attribute": "k_error", "matcher": "exact"},
+                "view": {"attribute": "k_view", "matcher": "exact"},
+            }
+        }
+    },
+}
+
+# DuckDB CTE mirroring transcripts_from_events()
+SQL_TRANSCRIPTS = """
+t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         event_type AS role,
+         event_type || '=' || regexp_extract(props, '"k": (\\d+)', 1) AS text,
+         ts
+  FROM events
+)
+"""
+
+# per-conversation distinct attribute values (k per event_type)
+SQL_CONV_VALUES = SQL_TRANSCRIPTS + """,
+v AS (
+  SELECT DISTINCT conv_id,
+         'k_' || role AS attribute,
+         regexp_extract(text, '=(\\d+)$', 1) AS value
+  FROM t
+  WHERE role IN ('click','error','view') AND regexp_extract(text, '=(\\d+)$', 1) <> ''
+)
+"""
+
+
+def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(
+            "event_type", F.lit("="), F.regexp_extract("props", '"k": (\\d+)', 1)
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+    )
+
+
+def _er_compiled():
+    return compile_model(Model(ER_MODEL))
+
+
+def _er_records(spark, sf_dir):
+    turns = transcripts_from_events(spark, sf_dir)
+    compiled = _er_compiled()
+    values = build_values(spark, turns, compiled,
+                          physical_paths={("default", f): f for f in ("click", "error", "view")})
+    return build_records(values, compiled), compiled
+
+
+# ----------------------------------------------------------------------
+# ER contract queries
+
+def q_conv_assembly(spark, sf_dir):
+    """O-window: per-conversation ordered text assembly (SURVEY §2.5)."""
+    from zentity_spark.transcripts import assemble_conversations
+
+    turns = transcripts_from_events(spark, sf_dir)
+    return (
+        assemble_conversations(turns)
+        .select("conv_id", "conv_text", F.col("n_turns").cast("long").alias("n_turns"))
+        .orderBy("conv_id")
+    )
+
+
+SQL_CONV_ASSEMBLY = f"""
+WITH {SQL_TRANSCRIPTS}
+SELECT conv_id,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS conv_text,
+       count(*) AS n_turns
+FROM t GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+def q_conv_values(spark, sf_dir):
+    """F6/A3: attribute-value extraction with set dedup (SURVEY §2.8 F6,
+    §2.4 A3)."""
+    records, compiled = _er_records(spark, sf_dir)
+    entry = F.col("attrs")
+    rows = []
+    for a in ("k_click", "k_error", "k_view"):
+        rows.append(
+            records.select(
+                "record_id",
+                F.lit(a).alias("attribute"),
+                F.explode_outer(entry.getItem(a).getField("eq_keys")).alias("value"),
+            ).where(F.col("value").isNotNull())
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.withColumnRenamed("record_id", "conv_id").distinct()
+
+
+SQL_CONV_VALUES_Q = f"WITH {SQL_CONV_VALUES} SELECT conv_id, attribute, value FROM v"
+
+
+def q_blocking_keys(spark, sf_dir):
+    """J4: per-resolver composite blocking keys (SURVEY §2.3 J4)."""
+    records, compiled = _er_records(spark, sf_dir)
+    blocks = blocking_keys(records, compiled, hash_keys=False, max_keys_per_record=100_000)
+    return blocks.select(
+        F.col("record_id").alias("conv_id"), "resolver", F.col("ckey").alias("blocking_key")
+    ).distinct()
+
+
+SQL_BLOCKING_KEYS = f"""
+WITH {SQL_CONV_VALUES}
+SELECT conv_id, 'r_error' AS resolver, chr(31) || value AS blocking_key
+FROM v WHERE attribute = 'k_error'
+UNION
+SELECT c.conv_id, 'r_click_view' AS resolver,
+       chr(31) || c.value || chr(31) || w.value AS blocking_key
+FROM (SELECT conv_id, value FROM v WHERE attribute='k_click') c
+JOIN (SELECT conv_id, value FROM v WHERE attribute='k_view') w USING (conv_id)
+"""
+
+
+def q_candidate_pairs(spark, sf_dir):
+    """J4/J7: blocking self-join → deduped candidate pairs."""
+    records, compiled = _er_records(spark, sf_dir)
+    blocks = blocking_keys(records, compiled, resolvers=["r_error"])
+    cand, _ = candidate_pairs(blocks, max_block_size=None)
+    return cand.select(
+        F.col("id_l").alias("conv_l"), F.col("id_r").alias("conv_r")
+    ).distinct()
+
+
+SQL_CANDIDATE_PAIRS = f"""
+WITH {SQL_CONV_VALUES}
+SELECT DISTINCT a.conv_id AS conv_l, b.conv_id AS conv_r
+FROM (SELECT conv_id, value FROM v WHERE attribute='k_error') a
+JOIN (SELECT conv_id, value FROM v WHERE attribute='k_error') b ON a.value = b.value
+WHERE a.conv_id < b.conv_id
+"""
+
+
+def q_pairs_levenshtein(spark, sf_dir):
+    """P4: fuzzy matcher — levenshtein within blocks (customer names
+    blocked by nation)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    l = c.alias("l")
+    r = c.alias("r")
+    return (
+        l.join(r, F.col("l.c_nationkey") == F.col("r.c_nationkey"))
+        .where(F.col("l.c_custkey") < F.col("r.c_custkey"))
+        .withColumn("lev", F.levenshtein(F.col("l.c_name"), F.col("r.c_name")))
+        .where(F.col("lev") <= 2)
+        .select(
+            F.col("l.c_custkey").alias("key_l"),
+            F.col("r.c_custkey").alias("key_r"),
+            F.col("lev").cast("int").alias("lev"),
+        )
+    )
+
+
+SQL_PAIRS_LEVENSHTEIN = """
+SELECT l.c_custkey AS key_l, r.c_custkey AS key_r,
+       CAST(levenshtein(l.c_name, r.c_name) AS INT) AS lev
+FROM customer l JOIN customer r ON l.c_nationkey = r.c_nationkey
+WHERE l.c_custkey < r.c_custkey AND levenshtein(l.c_name, r.c_name) <= 2
+"""
+
+
+def q_pairs_jaro_winkler(spark, sf_dir):
+    """Custom matcher: Jaro-Winkler >= 0.985 (Arrow-batched pandas UDF,
+    bit-identical to DuckDB's jaro_winkler_similarity — verified)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    jw = jaro_winkler_udf()
+    l = c.alias("l")
+    r = c.alias("r")
+    return (
+        l.join(r, F.col("l.c_nationkey") == F.col("r.c_nationkey"))
+        .where(F.col("l.c_custkey") < F.col("r.c_custkey"))
+        .withColumn("jw", jw(F.col("l.c_name"), F.col("r.c_name")))
+        .where(F.col("jw") >= 0.985)
+        .select(
+            F.col("l.c_custkey").alias("key_l"),
+            F.col("r.c_custkey").alias("key_r"),
+            F.round("jw", 6).alias("jw_sim"),
+        )
+    )
+
+
+SQL_PAIRS_JARO_WINKLER = """
+SELECT l.c_custkey AS key_l, r.c_custkey AS key_r,
+       round(jaro_winkler_similarity(l.c_name, r.c_name), 6) AS jw_sim
+FROM customer l JOIN customer r ON l.c_nationkey = r.c_nationkey
+WHERE l.c_custkey < r.c_custkey
+  AND jaro_winkler_similarity(l.c_name, r.c_name) >= 0.985
+"""
+
+
+def q_soundex_codes(spark, sf_dir):
+    """Phonetic matcher key projection (Spark built-in soundex). No
+    DuckDB oracle (function unavailable there) → rows-only check."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    first_word = F.substring_index("text", " ", 1)
+    return d.select(
+        "doc_id", F.soundex(first_word).alias("soundex_code")
+    ).orderBy("doc_id")
+
+
+def q_pairs_date_window(spark, sf_dir):
+    """P5: date-window matcher — event pairs within ±1s via bucket
+    blocking keys + exact inclusive verification (SURVEY §2.2 P5)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("ts").cast("timestamp").cast("double").alias("tsd")
+    )
+    b = ev.withColumn("bucket", F.explode(F.array(F.floor("tsd"), F.floor("tsd") + 1)))
+    l = b.alias("l")
+    r = b.alias("r")
+    return (
+        l.join(r, F.col("l.bucket") == F.col("r.bucket"))
+        .where(
+            (F.col("l.event_id") < F.col("r.event_id"))
+            & (F.abs(F.col("l.tsd") - F.col("r.tsd")) <= 1.0)
+        )
+        .select(
+            F.col("l.event_id").alias("event_l"), F.col("r.event_id").alias("event_r")
+        )
+        .distinct()
+    )
+
+
+SQL_PAIRS_DATE_WINDOW = """
+WITH e AS (SELECT event_id, epoch(ts) AS tsd FROM events)
+SELECT DISTINCT l.event_id AS event_l, r.event_id AS event_r
+FROM e l JOIN e r ON l.event_id < r.event_id
+WHERE abs(l.tsd - r.tsd) <= 1.0
+"""
+
+
+def _cc_edges(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_partkey") < 40)
+    return li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+
+
+def q_connected_components(spark, sf_dir):
+    """J7: transitive clustering — large-star/small-star connected
+    components over the order–part bipartite subgraph (SURVEY §2.3 J7)."""
+    from zentity_spark.clustering import connected_components
+
+    return connected_components(_cc_edges(spark, sf_dir)).withColumnRenamed(
+        "record_id", "node"
+    ).orderBy("node")
+
+
+SQL_CONNECTED_COMPONENTS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem WHERE l_partkey < 40
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT sym.src, reach.r FROM sym JOIN reach ON sym.dst = reach.node
+)
+SELECT node, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY node
+"""
+
+
+def q_cluster_sizes(spark, sf_dir):
+    """A8-style aggregation over the clustering output."""
+    from zentity_spark.clustering import connected_components
+
+    cc = connected_components(_cc_edges(spark, sf_dir))
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy("cluster_id")
+    )
+
+
+SQL_CLUSTER_SIZES = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem WHERE l_partkey < 40
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT sym.src, reach.r FROM sym JOIN reach ON sym.dst = reach.node
+), cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+def q_composite_score(spark, sf_dir):
+    """A7: Bayesian conflation of per-attribute scores (Job.java:608-640)
+    computed per order over derived per-line scores."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", (F.lit(0.5) + F.col("l_discount")).alias("s")
+    )
+    agg = li.groupBy("l_orderkey").agg(F.collect_list("s").alias("scores"))
+    return (
+        agg.select(
+            "l_orderkey", F.round(composite_score_col(F.col("scores")), 6).alias("score")
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+SQL_COMPOSITE_SCORE = """
+SELECT l_orderkey,
+       round(exp(sum(ln(0.5 + l_discount))) /
+             (exp(sum(ln(0.5 + l_discount))) + exp(sum(ln(0.5 - l_discount)))), 6) AS score
+FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
+# ----------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings)
+
+# DuckDB equivalent of extras.canonical_text
+_SQL_CANON = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_SQL_WORDS = f"string_split({_SQL_CANON}, ' ')"
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy canonical text; keep_id = min doc id of
+    the duplicate group."""
+    from zentity_spark.extras import exact_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(d).select("doc_id", "text_hash", "keep_id").orderBy("doc_id")
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT doc_id, md5({_SQL_CANON}) AS text_hash,
+       min(doc_id) OVER (PARTITION BY md5({_SQL_CANON})) AS keep_id
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash-LSH band signatures (deterministic md5 min-hash)."""
+    from zentity_spark.extras import minhash_signatures
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_signatures(d, k=3, bands=4).orderBy("doc_id", "band")
+
+
+SQL_MINHASH = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(words) - 2),
+                          i -> array_to_string(words[i:i+2], ' ')))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), b AS (
+  SELECT doc_id, shingle, unnest([0,1,2,3]) AS band FROM e
+)
+SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS minhash
+FROM b GROUP BY doc_id, band ORDER BY doc_id, band
+"""
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    """MinHash-LSH candidates verified with exact shingle Jaccard."""
+    from zentity_spark.extras import near_dup_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dup_pairs(d, k=3, bands=4, jaccard_threshold=0.2).orderBy("id_l", "id_r")
+
+
+SQL_NEAR_DUP = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(words) - 2),
+                          i -> array_to_string(words[i:i+2], ' ')))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), b AS (
+  SELECT doc_id, shingle, unnest([0,1,2,3]) AS band FROM e
+), sig AS (
+  SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM b GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+  FROM sig l JOIN sig r ON l.band = r.band AND l.minhash = r.minhash
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id_l, id_r,
+       round(CAST(len(list_intersect(a.shingles, c.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, c.shingles))), 6) AS jaccard
+FROM cand JOIN sh a ON a.doc_id = id_l JOIN sh c ON c.doc_id = id_r
+WHERE round(CAST(len(list_intersect(a.shingles, c.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, c.shingles))), 6) >= 0.2
+ORDER BY id_l, id_r
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprints (bit arithmetic over md5 token hashes)."""
+    from zentity_spark.extras import sim_hash_expr
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", sim_hash_expr(F.col("text"), 16).alias("simhash16")).orderBy(
+        "doc_id"
+    )
+
+
+def _sql_simhash_bits():
+    tok = "CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)"
+    terms = []
+    for i in range(16):
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(words, w -> CASE WHEN ({tok} >> {i}) & 1 = 1"
+            f" THEN 1 ELSE -1 END)) > 0 THEN {2**i} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+SQL_SIMHASH = f"""
+WITH w AS (SELECT doc_id, list_distinct({_SQL_WORDS}) AS words FROM documents)
+SELECT doc_id, CAST({_sql_simhash_bits()} AS BIGINT) AS simhash16
+FROM w ORDER BY doc_id
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search (broadcast query vector,
+    single scan + TakeOrdered)."""
+    from zentity_spark.extras import ann_topk_bruteforce
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk_bruteforce(e, query_vec_id=0, k=10)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])), 6) AS cosine
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])), 6) DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_lsh_buckets(spark, sf_dir):
+    """Hyperplane-LSH buckets (md5-derived deterministic planes) — the
+    ANN scale path."""
+    from zentity_spark.extras import ann_lsh_buckets
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_buckets(e, dim=64, n_planes=6).orderBy("vec_id")
+
+
+def _sql_lsh_buckets(n_planes: int = 6, dim: int = 64) -> str:
+    import hashlib
+
+    plane_terms = []
+    for p in range(n_planes):
+        dot = " + ".join(
+            f"CAST(embedding[{j+1}] AS DOUBLE) * ({int(hashlib.md5(f'{p}_{j}'.encode()).hexdigest()[:4], 16) % 2001 - 1000}.0)"
+            for j in range(dim)
+        )
+        plane_terms.append(f"CASE WHEN ({dot}) > 0 THEN {2**p} ELSE 0 END")
+    bucket = " + ".join(plane_terms)
+    return f"SELECT vec_id, label, CAST({bucket} AS BIGINT) AS bucket FROM embeddings ORDER BY vec_id"
+
+
+def q_text_quality(spark, sf_dir):
+    from zentity_spark.extras import text_quality
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_quality(d).orderBy("doc_id")
+
+
+SQL_TEXT_QUALITY = f"""
+WITH w AS (SELECT doc_id, text, {_SQL_WORDS} AS words FROM documents)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_tokens,
+       round(CAST(list_sum(list_transform(words, x -> strlen(x))) AS DOUBLE) / len(words), 6) AS mean_token_len,
+       round(CAST(strlen(text) - strlen(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / greatest(strlen(text), 1), 6) AS punct_ratio,
+       round(CAST(list_sum(list_transform(words, x -> CASE WHEN x IN
+             ('the','a','of','and','to','in','is','it','that','for') THEN 1 ELSE 0 END)) AS DOUBLE)
+             / len(words), 6) AS stopword_ratio
+FROM w ORDER BY doc_id
+"""
+
+
+def q_language_id(spark, sf_dir):
+    from zentity_spark.extras import language_id
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(d).orderBy("doc_id")
+
+
+def _sql_language_id() -> str:
+    markers = {
+        "de": ["der", "und", "das", "ist"],
+        "en": ["the", "and", "of", "is"],
+        "es": ["el", "y", "la", "es"],
+        "fr": ["le", "et", "la", "est"],
+    }
+    hits = {
+        lang: (
+            "list_sum(list_transform(words, x -> CASE WHEN x IN ("
+            + ",".join(f"'{m}'" for m in ms)
+            + ") THEN 1 ELSE 0 END))"
+        )
+        for lang, ms in markers.items()
+    }
+    structs = ", ".join(f"{{'hits': {h}, 'lang': '{lang}'}}" for lang, h in sorted(hits.items()))
+    return f"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+s AS (SELECT doc_id, list_max([{structs}]) AS best FROM w)
+SELECT doc_id, CASE WHEN best['hits'] > 0 THEN best['lang'] ELSE 'unknown' END AS pred_lang
+FROM s ORDER BY doc_id
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    from zentity_spark.extras import token_counts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_counts(d).orderBy("doc_id")
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> ''))
+            + strlen(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS subword_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (rolling md5 over char 8-grams, window 4)."""
+    from zentity_spark.extras import winnow_fingerprints
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(d, kgram=8, window=4).distinct().orderBy("doc_id", "fingerprint")
+
+
+SQL_FINGERPRINTS = f"""
+WITH c AS (SELECT doc_id, {_SQL_CANON} AS txt FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(strlen(txt) - 7, 1)),
+                        i -> md5(substr(txt, i, 8))) AS grams
+  FROM c
+)
+SELECT DISTINCT doc_id,
+       unnest(list_distinct(list_transform(generate_series(1, greatest(len(grams) - 3, 1)),
+                     i -> list_min(grams[i:i+3])))) AS fingerprint
+FROM g ORDER BY doc_id, fingerprint
+"""
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing: binary payload column → mapInPandas decode
+    (STUBBED deterministic fake — no image libs in container; schema,
+    Arrow batching and partitioning are real). Oracle checks the
+    deterministic dims derived from payload byte length."""
+    from zentity_spark.extras import decode_media_batches
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("{}").alias("meta"),
+    )
+    return (
+        decode_media_batches(media)
+        .select("media_id", "kind", "width", "height", "n_frames")
+        .orderBy("media_id")
+    )
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST((octet_length(encode(text)) % 64) * 16 + 16 AS INT) AS width,
+       CAST((octet_length(encode(text)) % 48) * 16 + 16 AS INT) AS height,
+       CAST(1 AS INT) AS n_frames
+FROM documents ORDER BY media_id
+"""
+
+
+# ----------------------------------------------------------------------
+# Generic engine sanity (scan/agg/sort/limit/window)
+
+def q_pricing_summary(spark, sf_dir):
+    """Scan+aggregate sanity (S1/A-family): pushdown-friendly filter,
+    map-side partial aggregation."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_events(spark, sf_dir):
+    """O7: deterministic top-k (orderBy + limit → TakeOrdered, no full
+    sort)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select("event_id", "user_id", "value").orderBy(
+        F.desc("value"), F.asc("event_id")
+    ).limit(100)
+
+
+SQL_TOP_EVENTS = """
+SELECT event_id, user_id, value FROM events
+ORDER BY value DESC, event_id ASC LIMIT 100
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Window-function sessionization (gap > 600s starts a new session):
+    the batch analog of streaming session windows."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsd = F.col("ts").cast("timestamp").cast("double")
+    gap = tsd - F.lag(tsd).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 600), F.lit(1)).otherwise(F.lit(0))
+    ).over(w)
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 600
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ----------------------------------------------------------------------
+# Registry
+
+def all_queries():
+    return {
+        "conv_assembly": q_conv_assembly,
+        "conv_values": q_conv_values,
+        "blocking_keys": q_blocking_keys,
+        "candidate_pairs": q_candidate_pairs,
+        "pairs_levenshtein": q_pairs_levenshtein,
+        "pairs_jaro_winkler": q_pairs_jaro_winkler,
+        "soundex_codes": q_soundex_codes,
+        "pairs_date_window": q_pairs_date_window,
+        "connected_components": q_connected_components,
+        "cluster_sizes": q_cluster_sizes,
+        "composite_score": q_composite_score,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "near_dup_pairs": q_near_dup_pairs,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "lsh_buckets": q_lsh_buckets,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "multimodal_decode": q_multimodal_decode,
+        "pricing_summary": q_pricing_summary,
+        "top_events": q_top_events,
+        "sessionize": q_sessionize,
+    }
+
+
+def all_oracles():
+    return {
+        "conv_assembly": SQL_CONV_ASSEMBLY,
+        "conv_values": SQL_CONV_VALUES_Q,
+        "blocking_keys": SQL_BLOCKING_KEYS,
+        "candidate_pairs": SQL_CANDIDATE_PAIRS,
+        "pairs_levenshtein": SQL_PAIRS_LEVENSHTEIN,
+        "pairs_jaro_winkler": SQL_PAIRS_JARO_WINKLER,
+        # soundex_codes: no DuckDB soundex → rows-only check
+        "pairs_date_window": SQL_PAIRS_DATE_WINDOW,
+        "connected_components": SQL_CONNECTED_COMPONENTS,
+        "cluster_sizes": SQL_CLUSTER_SIZES,
+        "composite_score": SQL_COMPOSITE_SCORE,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "minhash_signatures": SQL_MINHASH,
+        "near_dup_pairs": SQL_NEAR_DUP,
+        "simhash": SQL_SIMHASH,
+        "ann_topk": SQL_ANN_TOPK,
+        "lsh_buckets": _sql_lsh_buckets(),
+        "text_quality": SQL_TEXT_QUALITY,
+        "language_id": _sql_language_id(),
+        "token_counts": SQL_TOKEN_COUNTS,
+        "fingerprints": SQL_FINGERPRINTS,
+        "multimodal_decode": SQL_MULTIMODAL,
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "top_events": SQL_TOP_EVENTS,
+        "sessionize": SQL_SESSIONIZE,
+    }
