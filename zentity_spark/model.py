@@ -377,6 +377,11 @@ class Model:
                 names = block.get(kind)
                 if names is None:
                     continue
+                if kind == "attributes" and isinstance(names, dict):
+                    # value-level attribute scope ({attr: [values]},
+                    # ScopeField.java:53-75) — applied as doc filters by
+                    # the resolution job, not by model pruning
+                    continue
                 if isinstance(names, str):
                     names = [names]
                 if not isinstance(names, list):

@@ -1,0 +1,525 @@
+"""Seeded resolution: the reference's hop-traversal loop, Spark-side.
+
+`resolve()` answers the reference's core request — "given these seed
+attributes/terms/ids, which documents belong to this ONE entity, and at
+which hop was each found?" (Job.java:1200-1255 run → 1075-1172 traverse).
+
+Faithful port of the loop semantics:
+- per hop, per index: one query built from the ACCUMULATED attribute
+  values (Job.java:1018-1050 buildHopQueue);
+- resolver DNF with weight tiers: the final clause is the lowest-weight
+  queryable group, gated per higher-weight resolver by
+  should(any-attribute-field-not-exists, resolver-matches)
+  (Query.java:488-551) — see pairs.py for the observed-behavior notes;
+- ids seed the first hop (Query.java:483-486); terms are trial-parsed
+  per attribute type and queried untiered (Query.java:554-702);
+- fetched docs are excluded per hop (Query.java:451-453);
+- per-query doc cap truncates lowest-id-first, matching ES index-order
+  truncation on the fixtures (max_docs_per_query, Job.java:70;
+  ResolutionActionIT.testJobMaxHopsAndDocs);
+- fixpoint when a hop adds nothing new or max_hops is reached
+  (Job.java:1088-1113).
+
+The entity's accumulated values are driver-held (entity-sized — exactly
+like the reference holds them in the Job object); each hop's matching is
+a distributed broadcast-join against the values table, so the per-hop
+work scales with the DATA, not the driver.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zentity_spark.compiler import CompiledModel, compile_model
+from zentity_spark.errors import ValidationException
+from zentity_spark.matchers import parse_window_seconds
+from zentity_spark.model import Model
+from zentity_spark.scoring import composite_identity_confidence_score
+from zentity_spark.transcripts import build_values, parse_turns
+from zentity_spark.values import serialize_value
+
+_NUMBER_RE = re.compile(r"^-?\d*\.?\d+$")  # Patterns.java:30 NUMBER_STRING
+
+_PY_TS_FORMATS = [
+    "%Y-%m-%dT%H:%M:%S.%f",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%d %H:%M:%S.%f",
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%d",
+]
+
+
+def _java_fmt_to_py(fmt: str) -> str:
+    out = fmt.replace("'T'", "T").replace("yyyy", "%Y").replace("MM", "%m")
+    out = out.replace("dd", "%d").replace("HH", "%H").replace("mm", "%M").replace("ss", "%S")
+    out = re.sub(r"\.S+$", ".%f", out)
+    out = re.sub(r"\.0+$", ".%f", out)  # literal-zero fractions (fixture format)
+    return out
+
+
+def parse_ts_py(raw: str, fmt: str | None = None) -> float | None:
+    """Python-side timestamp parse, mirroring transcripts.parse_ts so the
+    driver-held input values land on the same time axis as the data."""
+    fmts = ([_java_fmt_to_py(fmt)] if fmt else []) + _PY_TS_FORMATS
+    for f_ in fmts:
+        try:
+            return datetime.datetime.strptime(raw, f_).replace(
+                tzinfo=datetime.timezone.utc
+            ).timestamp()
+        except (ValueError, TypeError):
+            continue
+    return None
+
+
+def strip_punct_py(s: str) -> str:
+    return re.sub(r"[^a-zA-Z0-9]", "", s)
+
+
+@dataclass
+class Input:
+    """Resolution input (resolution/input/Input.java:36-427)."""
+
+    attributes: dict = field(default_factory=dict)  # name -> [values] | {"values": [...], "params": {...}}
+    terms: list = field(default_factory=list)
+    ids: dict = field(default_factory=dict)  # index -> [doc ids]
+    scope: dict | None = None
+
+    def __post_init__(self):
+        if not self.attributes and not self.terms and not self.ids:
+            raise ValidationException(
+                "The 'attributes', 'terms', and 'ids' fields are missing from the request."
+            )
+
+    def attr_values(self) -> dict[str, list]:
+        out = {}
+        for name, spec in self.attributes.items():
+            out[name] = spec["values"] if isinstance(spec, dict) else list(spec)
+        return out
+
+    def attr_params(self) -> dict[str, dict]:
+        return {
+            name: dict(spec.get("params", {}))
+            for name, spec in self.attributes.items()
+            if isinstance(spec, dict)
+        }
+
+
+@dataclass
+class SeededConfig:
+    max_hops: int = 100            # Job.java:71
+    max_docs_per_query: int = 1000  # Job.java:70
+    include_score: bool = False
+    include_explanation: bool = False
+
+
+@dataclass
+class Hit:
+    record_id: str
+    index: str
+    doc_id: str
+    hop: int
+    score: float | None = None
+    explanation: list = field(default_factory=list)
+
+
+class _EntityState:
+    """Accumulated attribute values (serialized) + parsed timestamps."""
+
+    def __init__(self, compiled: CompiledModel):
+        self.compiled = compiled
+        self.values: dict[str, set[str]] = {}
+        self.tss: dict[str, set[float]] = {}
+
+    def add(self, attribute: str, serialized: str, fmt: str | None = None) -> bool:
+        if serialized in ("", "null") or serialized is None:
+            return False
+        new = serialized not in self.values.setdefault(attribute, set())
+        self.values[attribute].add(serialized)
+        if self.compiled.attr_types.get(attribute) == "date":
+            ts = parse_ts_py(serialized, fmt)
+            if ts is not None:
+                self.tss.setdefault(attribute, set()).add(ts)
+        return new
+
+    def attrs_with_values(self) -> set[str]:
+        return {a for a, vs in self.values.items() if vs}
+
+
+def _input_key_rows(state: _EntityState, compiled: CompiledModel):
+    """(attribute, kind, key) equality rows + (attribute, ts, window)
+    date rows + (attribute, norm, threshold) fuzzy rows, derived from the
+    accumulated values for every comparator kind the model uses."""
+    eq_rows, date_rows, fuzz_rows = [], [], []
+    kinds_by_attr = {a: compiled.kinds_for_attribute(a) for a in compiled.attr_types}
+    for attribute, values in state.values.items():
+        kinds = kinds_by_attr.get(attribute, set())
+        for v in sorted(values):
+            if {"exact", "nested"} & kinds:
+                eq_rows.append((attribute, "exact", v))
+                eq_rows.append((attribute, "nested", v))
+            if "normalized" in kinds:
+                eq_rows.append((attribute, "normalized", strip_punct_py(v)))
+            if "soundex" in kinds:
+                eq_rows.append((attribute, "soundex", None))  # key built Spark-side
+            if kinds & {"fuzzy", "levenshtein", "jaro_winkler"}:
+                fuzz_rows.append((attribute, strip_punct_py(v), v))
+        if "date_window" in kinds:
+            w = compiled.date_window_for(attribute)
+            for ts in sorted(state.tss.get(attribute, set())):
+                date_rows.append((attribute, float(ts), float(w)))
+    return eq_rows, date_rows, fuzz_rows
+
+
+def _match_records(spark, values_df, state: _EntityState, compiled: CompiledModel):
+    """Distributed matching of the accumulated entity values against the
+    values table → (record_id, source, attribute, field, matcher, raw,
+    input_val). One broadcast join per comparator family."""
+    eq_rows, date_rows, fuzz_rows = _input_key_rows(state, compiled)
+    parts = []
+    if eq_rows:
+        rows = [r for r in eq_rows if r[2] is not None]
+        if rows:
+            keys = spark.createDataFrame(rows, "k_attr string, k_kind string, k_key string")
+            vv = values_df.withColumn("vkey", F.try_element_at("eq_keys", F.lit(1)))
+            parts.append(
+                vv.join(
+                    F.broadcast(keys),
+                    (vv.attribute == keys.k_attr)
+                    & (vv.kind == keys.k_kind)
+                    & (vv.vkey == keys.k_key),
+                    "inner",
+                ).select(
+                    "record_id", "source", "attribute",
+                    "field", "matcher", "raw", F.col("k_key").alias("input_val"),
+                )
+            )
+    if date_rows:
+        dk = spark.createDataFrame(date_rows, "k_attr string, its double, window double")
+        v = values_df.where(F.col("kind") == "date_window")
+        parts.append(
+            v.join(F.broadcast(dk), v.attribute == dk.k_attr, "inner")
+            .where(F.abs(F.col("ts") - F.col("its")) <= F.col("window"))
+            .select(
+                "record_id", "source", "attribute", "field", "matcher", "raw",
+                F.col("its").cast("string").alias("input_val"),
+            )
+        )
+    if fuzz_rows:
+        fk = spark.createDataFrame(fuzz_rows, "k_attr string, fnorm string, orig string")
+        v = values_df.where(F.col("kind").isin("fuzzy", "levenshtein"))
+        norm = F.regexp_replace("raw", "[^a-zA-Z0-9]", "")
+        from zentity_spark.matchers import auto_fuzziness_col
+
+        parts.append(
+            v.join(F.broadcast(fk), v.attribute == fk.k_attr, "inner")
+            .where(F.levenshtein(norm, F.col("fnorm")) <= auto_fuzziness_col(norm, F.col("fnorm")))
+            .select(
+                "record_id", "source", "attribute", "field", "matcher", "raw",
+                F.col("orig").alias("input_val"),
+            )
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _resolver_clause(compiled, queryable: list[str], matched_attrs_col, fields_col):
+    """Weight-tiered resolver DNF as a boolean Column over a record's
+    matched-attribute set (Query.java:488-551 semantics)."""
+    def contains_all(attrs):
+        c = F.lit(True)
+        for a in attrs:
+            c = c & F.array_contains(matched_attrs_col, a)
+        return c
+
+    groups = compiled.model.resolver_weight_groups(queryable)
+    weights = sorted(groups)
+    lowest = groups[weights[0]]
+    clause = F.lit(False)
+    for r in lowest:
+        clause = clause | contains_all(compiled.resolver_attrs[r])
+    for w in weights[1:]:
+        for r in groups[w]:
+            not_exists = F.lit(False)
+            for a in compiled.resolver_attrs[r]:
+                not_exists = not_exists | ~F.array_contains(fields_col, a)
+            clause = clause & (contains_all(compiled.resolver_attrs[r]) | not_exists)
+    return clause
+
+
+def resolve(
+    spark: SparkSession,
+    turns: DataFrame,
+    model: Model,
+    input: Input,
+    config: SeededConfig | None = None,
+) -> list[Hit]:
+    """Run the seeded hop traversal; returns hits with hop provenance
+    (and score/explanation when requested)."""
+    config = config or SeededConfig()
+    model.prune(input.scope)
+    compiled = compile_model(model, input.attr_params())
+
+    parsed = parse_turns(turns)
+    values_df = build_values(spark, turns, compiled).localCheckpoint()
+
+    # physical fields named like attributes, for weight-tier exists gates
+    from zentity_spark.transcripts import attr_name_field_presence
+
+    if not compiled.weights_all_equal:
+        presence = attr_name_field_presence(parsed, compiled).localCheckpoint()
+    else:
+        presence = None
+
+    # scope attribute filters (value-level include/exclude,
+    # Query.java:456-479) — evaluated with the same matching machinery
+    scope = input.scope or {}
+    scope_excl = (scope.get("exclude") or {}).get("attributes") or {}
+    scope_incl = (scope.get("include") or {}).get("attributes") or {}
+
+    def scope_record_ids(attr_value_map):
+        st = _EntityState(compiled)
+        for a, vs in attr_value_map.items():
+            fmt = (input.attr_params().get(a) or {}).get("format")
+            for v in vs:
+                st.add(a, serialize_value(v, compiled.attr_types.get(a, "string")), fmt)
+        m = _match_records(spark, values_df, st, compiled)
+        if m is None:
+            return None
+        return m.select("record_id").distinct()
+
+    # exclude: doc dropped if it matches ANY excluded attribute value
+    # (should-combined, Query.java:456-463); include: doc kept only if it
+    # matches EVERY included attribute (filter-combined, Query.java:471-479)
+    excl_ids = scope_record_ids(scope_excl) if scope_excl else None
+    incl_ids = None
+    if scope_incl:
+        for a, vs in sorted(scope_incl.items()):
+            ids_a = scope_record_ids({a: vs})
+            if ids_a is None:
+                continue
+            incl_ids = ids_a if incl_ids is None else incl_ids.join(
+                ids_a, "record_id", "left_semi"
+            )
+
+    # seed state from input attributes
+    state = _EntityState(compiled)
+    for a, vs in input.attr_values().items():
+        if a not in compiled.attr_types:
+            raise ValidationException(f"'attributes.{a}' is not defined in the entity model.")
+        fmt = (input.attr_params().get(a) or {}).get("format")
+        for v in vs:
+            state.add(a, serialize_value(v, compiled.attr_types[a]), fmt)
+
+    # terms: trial-parse against every attribute type (Term.java:56-74,
+    # Query.java:559-702); weights deliberately NOT applied to terms
+    term_state = _EntityState(compiled)
+    for t in input.terms:
+        for a, atype in compiled.attr_types.items():
+            s = str(t)
+            if atype == "boolean" and s in ("true", "false"):
+                term_state.add(a, s)
+            elif atype == "number" and _NUMBER_RE.match(s):
+                term_state.add(a, s)
+            elif atype == "date":
+                fmt = (input.attr_params().get(a) or {}).get("format")
+                if parse_ts_py(s, fmt) is not None:
+                    term_state.add(a, s, fmt)
+            elif atype == "string":
+                term_state.add(a, s)
+
+    fetched: dict[str, set[str]] = {}
+    hits: list[Hit] = []
+    indexes = compiled.indexes()
+
+    for hop in range(config.max_hops + 1):
+        hop_new = False
+        matches = _match_records(spark, values_df, state, compiled)
+        term_matches = (
+            _match_records(spark, values_df, term_state, compiled) if hop == 0 and input.terms else None
+        )
+        # the hop queue is built from PRE-hop values (Job.java:1018-1050):
+        # snapshot before the per-index loop so extraction during this hop
+        # doesn't leak into this hop's queryability
+        awv = set(state.attrs_with_values())
+
+        for index in indexes:
+            queryable = [
+                r for r in sorted(compiled.resolver_attrs)
+                if compiled.model.can_query_resolver(index, r, awv)
+            ]
+            term_queryable = [
+                r for r in sorted(compiled.resolver_attrs)
+                if compiled.model.can_query_resolver(index, r, term_state.attrs_with_values())
+            ] if term_matches is not None else []
+
+            seeds = input.ids.get(index, []) if hop == 0 else []
+            if not queryable and not term_queryable and not seeds:
+                continue
+
+            pred = F.lit(False)
+            per_rec = None
+            if queryable and matches is not None:
+                m = matches.where(F.col("source") == index)
+                per_rec = m.groupBy("record_id").agg(
+                    F.collect_set("attribute").alias("ma"),
+                    F.collect_list(
+                        F.struct("attribute", "field", "matcher", "raw", "input_val")
+                    ).alias("detail"),
+                )
+                if presence is not None:
+                    per_rec = per_rec.join(presence, "record_id", "left").withColumn(
+                        "attr_name_fields",
+                        F.coalesce("attr_name_fields", F.array().cast("array<string>")),
+                    )
+                else:
+                    per_rec = per_rec.withColumn(
+                        "attr_name_fields", F.array().cast("array<string>")
+                    )
+                pred = _resolver_clause(
+                    compiled, queryable, F.col("ma"), F.col("attr_name_fields")
+                )
+            if term_queryable:
+                tm = term_matches.where(F.col("source") == index).groupBy("record_id").agg(
+                    F.collect_set("attribute").alias("tma")
+                )
+                tclause = F.lit(False)
+                for r in term_queryable:
+                    c = F.lit(True)
+                    for a in compiled.resolver_attrs[r]:
+                        c = c & F.array_contains(F.col("tma"), a)
+                    tclause = tclause | c
+                if per_rec is None:
+                    per_rec = tm.withColumn("ma", F.array().cast("array<string>")).withColumn(
+                        "detail",
+                        F.array().cast(
+                            "array<struct<attribute:string,field:string,matcher:string,raw:string,input_val:string>>"
+                        ),
+                    )
+                    pred = tclause
+                else:
+                    per_rec = per_rec.join(tm, "record_id", "outer")
+                    per_rec = (
+                        per_rec.withColumn(
+                            "ma", F.coalesce("ma", F.array().cast("array<string>"))
+                        )
+                        .withColumn("tma", F.coalesce("tma", F.array().cast("array<string>")))
+                        .withColumn(
+                            "detail",
+                            F.coalesce(
+                                "detail",
+                                F.array().cast(
+                                    "array<struct<attribute:string,field:string,matcher:string,raw:string,input_val:string>>"
+                                ),
+                            ),
+                        )
+                        .withColumn(
+                            "attr_name_fields",
+                            F.coalesce("attr_name_fields", F.array().cast("array<string>")),
+                        )
+                    )
+                    pred = pred | tclause
+
+            if per_rec is None:
+                cand = spark.createDataFrame([], "record_id string")
+            else:
+                cand = per_rec.where(pred).select("record_id", "detail")
+
+            # seed ids (hop 0)
+            if seeds:
+                seed_ids = [f"{index}/{i}" for i in seeds]
+                seed_df = spark.createDataFrame(
+                    [(s,) for s in seed_ids], "record_id string"
+                ).withColumn(
+                    "detail",
+                    F.array().cast(
+                        "array<struct<attribute:string,field:string,matcher:string,raw:string,input_val:string>>"
+                    ),
+                )
+                cand = (
+                    cand.unionByName(seed_df).dropDuplicates(["record_id"])
+                    if per_rec is not None
+                    else seed_df
+                )
+
+            # exclusions: already-fetched docs + scope filters
+            got = fetched.setdefault(index, set())
+            if got:
+                cand = cand.where(~F.col("record_id").isin(sorted(got)))
+            if excl_ids is not None:
+                cand = cand.join(excl_ids, "record_id", "left_anti")
+            if incl_ids is not None:
+                cand = cand.join(incl_ids.select("record_id"), "record_id", "left_semi")
+
+            # deterministic per-query doc cap (lowest record id first)
+            new_hits = (
+                cand.orderBy("record_id").limit(config.max_docs_per_query).collect()
+            )
+            if not new_hits:
+                continue
+            hop_new = True
+            hit_ids = [r["record_id"] for r in new_hits]
+            got.update(hit_ids)
+            for r in new_hits:
+                doc_id = r["record_id"].split("/", 1)[-1]
+                h = Hit(record_id=r["record_id"], index=index, doc_id=doc_id, hop=hop)
+                detail = r["detail"] or []
+                if config.include_explanation:
+                    h.explanation = [
+                        {
+                            "attribute": d["attribute"],
+                            "target_field": d["field"],
+                            "target_value": d["raw"],
+                            "input_value": d["input_val"],
+                            "input_matcher": d["matcher"],
+                        }
+                        for d in detail
+                    ]
+                if config.include_score:
+                    best: dict[str, float] = {}
+                    for d in detail:
+                        s = compiled.scores.get(
+                            (d["attribute"], d["matcher"], index, d["field"])
+                        )
+                        if s is not None:
+                            best[d["attribute"]] = max(best.get(d["attribute"], 0.0), s)
+                    h.score = composite_identity_confidence_score(list(best.values()))
+                hits.append(h)
+
+            # extraction: accumulate the new docs' values (Job.java:1096-1113).
+            # Date values participate in later hops only when the INPUT
+            # declares the date attribute: the reference's date handling is
+            # anchored on the input-side format chain (script_fields
+            # reformat, Query.java:77-130), and the golden fixtures show
+            # extracted dates matching in testJobDataTypesDate (input date
+            # present) but never in testJobScore (input date absent —
+            # e.g. a1's expected score 0.5 admits no date match,
+            # ResolutionActionIT.java:1593-1630).
+            input_attrs = set(input.attr_values())
+            ext = (
+                values_df.where(
+                    (F.col("source") == index) & F.col("record_id").isin(hit_ids)
+                )
+                .select("attribute", "raw")
+                .distinct()
+                .collect()
+            )
+            for row in ext:
+                a = row["attribute"]
+                if compiled.attr_types.get(a) == "date" and a not in input_attrs:
+                    continue
+                fmt = (input.attr_params().get(a) or {}).get("format")
+                state.add(a, row["raw"], fmt)
+
+        if not hop_new:
+            break
+
+    return hits
