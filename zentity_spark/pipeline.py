@@ -129,3 +129,109 @@ def _entity_closure(spark, values, records, edges, clusters, compiled, config) -
             records, edges.select(F.col("id_l"), F.col("id_r")), config.cc_max_iterations
         )
     return clusters
+
+
+# ----------------------------------------------------------------------
+# Snapshot-committed, resumable pipeline (north_rule: every stage writes
+# per-partition lineage metrics and resumes from the last committed
+# snapshot/checkpoint)
+
+def _fingerprint(model_spec: dict, config: ResolutionConfig, input_token: str) -> str:
+    import hashlib
+    import json as _json
+
+    blob = _json.dumps(
+        {
+            "model": model_spec,
+            "config": {
+                "max_block_size": config.max_block_size,
+                "max_keys_per_record": config.max_keys_per_record,
+                "entity_closure": config.entity_closure,
+            },
+            "input": input_token,
+        },
+        sort_keys=True,
+    )
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def resolve_all_checkpointed(
+    spark: SparkSession,
+    turns: DataFrame,
+    model,
+    output_root: str,
+    input_token: str = "",
+    config: ResolutionConfig | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """Stage-committed resolution: records → pairs → edges → clusters,
+    each stage committed as a snapshot (storage.SnapshotStore) and served
+    from its last snapshot on rerun with an unchanged fingerprint. Every
+    stage also commits per-partition lineage counters to the `metrics`
+    table. Returns {stage: manifest} for the run."""
+    import json as _json
+    import uuid as _uuid
+
+    from zentity_spark.storage import SnapshotStore, partition_metrics
+
+    config = config or ResolutionConfig()
+    compiled = model if isinstance(model, CompiledModel) else compile_model(model)
+    model_spec = {
+        "attributes": sorted(compiled.attr_types.items()),
+        "resolvers": sorted((r, a) for r, a in compiled.resolver_attrs.items()),
+    }
+    fp = _fingerprint(model_spec, config, input_token)
+    run_id = run_id or _uuid.uuid4().hex[:8]
+    store = SnapshotStore(output_root)
+    manifests = {}
+
+    def stage(name, build):
+        """Resume-or-compute one stage."""
+        snap = store.latest(name, fingerprint=fp)
+        if snap is not None:
+            manifests[name] = {**snap, "resumed": True}
+            return store.read(spark, name, fingerprint=fp)
+        df = build()
+        manifests[name] = store.commit(df, name, stage=name, fingerprint=fp)
+        out = store.read(spark, name, fingerprint=fp)
+        store.commit(partition_metrics(out, name, run_id), "metrics", stage=name,
+                     fingerprint="")  # metrics are append-only observability
+        return out
+
+    parsed = parse_turns(turns)
+
+    records = stage(
+        "records",
+        lambda: build_records(build_values(spark, turns, compiled), compiled, parsed),
+    )
+
+    def build_pairs():
+        blocks = blocking_keys(
+            records, compiled, max_keys_per_record=config.max_keys_per_record
+        )
+        cand, _ = candidate_pairs(blocks, max_block_size=config.max_block_size)
+        return verify_pairs(cand, compiled).drop(
+            "app_l", "app_r", "fields_l", "fields_r"
+        )
+
+    pairs = stage("pairs", build_pairs)
+
+    def build_edges():
+        blocks = blocking_keys(
+            records, compiled, max_keys_per_record=config.max_keys_per_record
+        )
+        cand, _ = candidate_pairs(blocks, max_block_size=config.max_block_size)
+        full_pairs = verify_pairs(cand, compiled)
+        return gate_edges(full_pairs, compiled)
+
+    if compiled.weights_all_equal:
+        edges = stage("edges", lambda: pairs.select("id_l", "id_r", "matched_resolvers"))
+    else:
+        edges = stage("edges", build_edges)
+
+    clusters = stage(
+        "clusters",
+        lambda: _cluster_assignments(records, edges, config.cc_max_iterations),
+    )
+    return {"run_id": run_id, "fingerprint": fp, "stages": manifests,
+            "clusters": clusters}
