@@ -1,0 +1,139 @@
+"""spark-submit entrypoint.
+
+Usage (north_rule launch shape):
+
+    zip -r zentity_spark.zip zentity_spark
+    spark-submit --py-files zentity_spark.zip -m zentity_spark.cli ... \
+        batch  --model model.json --input /path/transcripts \
+               --output /path/warehouse [--input-format parquet]
+    ... resolve --model model.json --input /path/transcripts \
+               --attributes '{"name": ["alice jones"]}' [--max-hops 5]
+
+`batch` runs the snapshot-committed resolve-all pipeline (resumable);
+`resolve` runs a seeded single-entity traversal and prints hits as JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    import os
+
+    from pyspark import SparkConf
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    # spark-submit provides the master; direct `python -m` runs fall back
+    # to local mode (overridable via SPARK_MASTER)
+    if not SparkConf().contains("spark.master"):
+        builder = builder.master(os.environ.get("SPARK_MASTER", "local[*]"))
+    return builder.getOrCreate()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="zentity-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("batch", help="resolve all entities (checkpointed)")
+    b.add_argument("--model", required=True)
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--input-format", default="parquet")
+    b.add_argument("--max-block-size", type=int, default=10_000)
+    b.add_argument("--entity-closure", action="store_true")
+
+    r = sub.add_parser("resolve", help="seeded single-entity resolution")
+    r.add_argument("--model", required=True)
+    r.add_argument("--input", required=True)
+    r.add_argument("--input-format", default="parquet")
+    r.add_argument("--attributes", default="{}")
+    r.add_argument("--terms", default="[]")
+    r.add_argument("--ids", default="{}")
+    r.add_argument("--scope", default="null")
+    r.add_argument("--max-hops", type=int, default=100)
+    r.add_argument("--max-docs-per-query", type=int, default=1000)
+    r.add_argument("--score", action="store_true")
+
+    args = p.parse_args(argv)
+    from zentity_spark.model import load_model
+
+    spark = _spark(f"zentity-spark-{args.cmd}")
+    turns = spark.read.format(args.input_format).load(args.input)
+    model = load_model(args.model)
+
+    if args.cmd == "batch":
+        from zentity_spark.pipeline import ResolutionConfig, resolve_all_checkpointed
+
+        res = resolve_all_checkpointed(
+            spark,
+            turns,
+            model,
+            output_root=args.output,
+            input_token=args.input,
+            config=ResolutionConfig(
+                max_block_size=args.max_block_size,
+                entity_closure=args.entity_closure,
+            ),
+        )
+        out = {
+            "run_id": res["run_id"],
+            "fingerprint": res["fingerprint"],
+            "stages": {
+                k: {"rows": v.get("rows"), "resumed": bool(v.get("resumed"))}
+                for k, v in res["stages"].items()
+            },
+        }
+        print(json.dumps(out, indent=2))
+    else:
+        from zentity_spark.resolve import Input, SeededConfig, resolve
+
+        hits = resolve(
+            spark,
+            turns,
+            model,
+            Input(
+                attributes=json.loads(args.attributes),
+                terms=json.loads(args.terms),
+                ids=json.loads(args.ids),
+                scope=json.loads(args.scope),
+            ),
+            SeededConfig(
+                max_hops=args.max_hops,
+                max_docs_per_query=args.max_docs_per_query,
+                include_score=args.score,
+                include_explanation=args.score,
+            ),
+        )
+        print(
+            json.dumps(
+                {
+                    "hits": {
+                        "total": len(hits),
+                        "hits": [
+                            {
+                                "_id": h.doc_id,
+                                "_index": h.index,
+                                "_hop": h.hop,
+                                "_score": h.score,
+                            }
+                            for h in hits
+                        ],
+                    }
+                },
+                indent=2,
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
