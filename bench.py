@@ -59,7 +59,8 @@ def run_pipeline(spark, n_entities: int):
         spark,
         turns,
         Model(BENCH_MODEL),
-        ResolutionConfig(entity_closure=False, max_block_size=5000),
+        ResolutionConfig(entity_closure=False, max_block_size=5000,
+                         max_value_frequency=100),
     )
     clusters = result.clusters.localCheckpoint()
     n_clusters = clusters.select("cluster_id").distinct().count()
@@ -110,6 +111,7 @@ def main():
 
     from zentity_spark.entry_queries import all_queries
 
+    run_pipeline(spark, 1000)  # warm up JVM/codegen before timing
     wall, n_turns, precision, recall, n_clusters = run_pipeline(spark, n_entities)
 
     queries = {}
@@ -136,11 +138,17 @@ def main():
     spark.stop()
 
     if os.environ.get("BENCH_SCALING") == "1":
+        # scaling probe: the SAME job at two parallelism levels on the
+        # same (larger) input — fixed driver costs must be amortized for
+        # the comparison to measure compute scaling, hence the larger
+        # default entity count
+        sc_entities = int(os.environ.get("BENCH_SCALING_ENTITIES", "100000"))
         thr = {}
         for n in (8, 32):
             s = make_spark(n, app=f"zentity-scaling-{n}")
             s.sparkContext.setLogLevel("ERROR")
-            w, nt, _, _, _ = run_pipeline(s, n_entities)
+            run_pipeline(s, 2000)  # warm up JVM/codegen before timing
+            w, nt, _, _, _ = run_pipeline(s, sc_entities)
             thr[n] = nt / w
             s.stop()
         out["scaling"] = {

@@ -78,16 +78,14 @@ def blocking_keys(records: DataFrame, compiled: CompiledModel,
     for r in resolvers:
         attrs = compiled.resolver_attrs[r]
         ck = _composite_keys(F.col("attrs"), attrs, max_keys_per_record)
-        keep = {a: True for a in attrs}
-        pruned = F.map_filter(F.col("attrs"), lambda k, v: k.isin(*keep))
+        # SKINNY rows: (resolver, key, id) only — match material is
+        # re-joined per record AFTER pair dedup (pairs.verify_pairs), so
+        # the blocking shuffle moves 3 small columns, not per-key copies
+        # of the attribute maps
         part = records.select(
             F.lit(r).alias("resolver"),
             F.explode(ck).alias("ckey_s"),
             "record_id",
-            "source",
-            pruned.alias("attrs"),
-            "app_resolvers",
-            "attr_name_fields",
         )
         if hash_keys:
             part = part.withColumn("ckey", F.xxhash64("resolver", "ckey_s")).drop("ckey_s")
@@ -116,20 +114,8 @@ def candidate_pairs(blocks: DataFrame, max_block_size: int | None = 10000) -> tu
     else:
         dropped = None
 
-    left = blocks.select(
-        "resolver", "ckey",
-        F.col("record_id").alias("id_l"),
-        F.col("attrs").alias("attrs_l"),
-        F.col("app_resolvers").alias("app_l"),
-        F.col("attr_name_fields").alias("fields_l"),
-    )
-    right = blocks.select(
-        "resolver", "ckey",
-        F.col("record_id").alias("id_r"),
-        F.col("attrs").alias("attrs_r"),
-        F.col("app_resolvers").alias("app_r"),
-        F.col("attr_name_fields").alias("fields_r"),
-    )
+    left = blocks.select("resolver", "ckey", F.col("record_id").alias("id_l"))
+    right = blocks.select("resolver", "ckey", F.col("record_id").alias("id_r"))
     cand = (
         left.join(right, ["resolver", "ckey"])
         .where(F.col("id_l") < F.col("id_r"))

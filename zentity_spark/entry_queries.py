@@ -224,10 +224,15 @@ def q_pairs_jaro_winkler(spark, sf_dir):
         "c_custkey", "c_name", "c_nationkey"
     )
     jw = jaro_winkler_udf()
+    c = c.withColumn("blk", F.substring("c_name", 10, 5))
     l = c.alias("l")
     r = c.alias("r")
     return (
-        l.join(r, F.col("l.c_nationkey") == F.col("r.c_nationkey"))
+        l.join(
+            r,
+            (F.col("l.c_nationkey") == F.col("r.c_nationkey"))
+            & (F.col("l.blk") == F.col("r.blk")),
+        )
         .where(F.col("l.c_custkey") < F.col("r.c_custkey"))
         .withColumn("jw", jw(F.col("l.c_name"), F.col("r.c_name")))
         .where(F.col("jw") >= 0.985)
@@ -242,7 +247,9 @@ def q_pairs_jaro_winkler(spark, sf_dir):
 SQL_PAIRS_JARO_WINKLER = """
 SELECT l.c_custkey AS key_l, r.c_custkey AS key_r,
        round(jaro_winkler_similarity(l.c_name, r.c_name), 6) AS jw_sim
-FROM customer l JOIN customer r ON l.c_nationkey = r.c_nationkey
+FROM customer l JOIN customer r
+  ON l.c_nationkey = r.c_nationkey
+ AND substr(l.c_name, 10, 5) = substr(r.c_name, 10, 5)
 WHERE l.c_custkey < r.c_custkey
   AND jaro_winkler_similarity(l.c_name, r.c_name) >= 0.985
 """

@@ -85,7 +85,10 @@ def synth_transcripts(
     ents = spark.range(n_entities).select(
         F.col("id").alias("eid"),
         (F.lit(1) + F.pmod("id", F.lit(3))).cast("int").alias("n_convs"),
-        F.concat(F.lit("person "), F.substring(F.md5(F.col("id").cast("string")), 1, 10)).alias("base_name"),
+        # phonetically diverse names: letter-led hex — soundex codes
+        # spread over many buckets (a constant name prefix would make one
+        # degenerate soundex block out of the whole dataset)
+        F.concat(F.lit("p"), F.substring(F.md5(F.col("id").cast("string")), 1, 9)).alias("base_name"),
         F.concat(F.lit("u"), F.col("id"), F.lit("@example.com")).alias("email"),
         F.lpad(F.pmod(F.xxhash64(F.col("id")), F.lit(10_000_000)).cast("string"), 10, "0").alias("phone_digits"),
         F.timestamp_seconds(
@@ -101,8 +104,8 @@ def synth_transcripts(
     # inside the fuzzy_name matcher's fuzziness=1)
     name_variant = F.when(F.col("j") == 0, F.col("base_name")).otherwise(
         F.concat(
-            F.expr("substring(base_name, 1, 8 + j % 3)"),
-            F.expr("substring(base_name, 10 + j % 3)"),
+            F.expr("substring(base_name, 1, 4 + j % 3)"),
+            F.expr("substring(base_name, 6 + j % 3)"),
         )
     )
     # phone punctuation variants by j; a hot_fraction slice shares one value

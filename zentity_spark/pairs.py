@@ -144,22 +144,53 @@ def resolver_match_expr(compiled: CompiledModel, resolver: str,
     return cond
 
 
-def verify_pairs(candidates: DataFrame, compiled: CompiledModel) -> DataFrame:
-    """Candidates → verified (resolver, id_l, id_r) matches, then one row
-    per pair with the set of matched resolvers."""
-    pred = None
-    for r in sorted(compiled.resolver_attrs):
-        this = (F.col("resolver") == r) & resolver_match_expr(
-            compiled, r, F.col("attrs_l"), F.col("attrs_r")
-        )
-        pred = this if pred is None else (pred | this)
-    matched = candidates.where(pred)
-    return matched.groupBy("id_l", "id_r").agg(
-        F.sort_array(F.collect_set("resolver")).alias("matched_resolvers"),
-        F.first("app_l").alias("app_l"),
-        F.first("app_r").alias("app_r"),
-        F.first("fields_l").alias("fields_l"),
-        F.first("fields_r").alias("fields_r"),
+def verify_pairs(candidates: DataFrame, compiled: CompiledModel,
+                 records: DataFrame | None = None) -> DataFrame:
+    """Candidates → verified pairs with the set of matched resolvers.
+
+    Candidates are skinny (resolver, id_l, id_r); the per-record match
+    material is joined back here — pairs were already deduped, so each
+    record's attribute map is shuffled once per distinct pair side, not
+    once per blocking key (records arrive pre-partitioned by record_id
+    from build_records)."""
+    if records is None:
+        raise ValueError("verify_pairs requires the records DataFrame")
+    pair_ids = candidates.groupBy("id_l", "id_r").agg(
+        F.sort_array(F.collect_set("resolver")).alias("cand_resolvers")
+    )
+    l = records.select(
+        F.col("record_id").alias("id_l"),
+        F.col("attrs").alias("attrs_l"),
+        F.col("app_resolvers").alias("app_l"),
+        F.col("attr_name_fields").alias("fields_l"),
+    )
+    r = records.select(
+        F.col("record_id").alias("id_r"),
+        F.col("attrs").alias("attrs_r"),
+        F.col("app_resolvers").alias("app_r"),
+        F.col("attr_name_fields").alias("fields_r"),
+    )
+    joined = pair_ids.join(l, "id_l").join(r, "id_r")
+
+    def match_when(rn):
+        cond = resolver_match_expr(compiled, rn, F.col("attrs_l"), F.col("attrs_r"))
+        if compiled.weights_all_equal:
+            # a resolver can only match a pair it blocked together
+            # (equality keys) — skip the others' predicates
+            cond = F.array_contains(F.col("cand_resolvers"), rn) & cond
+        # weighted models: gate correctness needs matched_resolvers to be
+        # complete, so evaluate EVERY resolver's predicate on the pair
+        return F.when(cond, F.lit(rn))
+
+    matched_col = F.filter(
+        F.array(*[match_when(rn) for rn in sorted(compiled.resolver_attrs)]),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        joined.withColumn("matched_resolvers", matched_col)
+        .where(F.size("matched_resolvers") > 0)
+        .select("id_l", "id_r", "matched_resolvers",
+                "app_l", "app_r", "fields_l", "fields_r")
     )
 
 

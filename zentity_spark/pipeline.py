@@ -43,6 +43,13 @@ class ResolutionConfig:
     entity_closure: bool = True
     closure_max_rounds: int = 10
     cc_max_iterations: int = 50
+    # junk-value suppression: drop attribute values held by more than
+    # this many records (None = off). The scale analog of the
+    # reference's blank-value skipping (Query.java:206-208): a value
+    # shared by thousands of records (support@..., 000-000-0000, empty
+    # defaults) carries no identity signal and otherwise chains false
+    # merges through connected components.
+    max_value_frequency: int | None = None
 
 
 @dataclass
@@ -79,11 +86,19 @@ def resolve_all(
 
     parsed = parse_turns(turns)
     values = build_values(spark, turns, compiled)
+    if config.max_value_frequency is not None:
+        hot = (
+            values.groupBy("attribute", "raw")
+            .agg(F.count_distinct("record_id").alias("freq"))
+            .where(F.col("freq") > config.max_value_frequency)
+            .select("attribute", "raw")
+        )
+        values = values.join(F.broadcast(hot), ["attribute", "raw"], "left_anti")
     records = build_records(values, compiled, parsed).localCheckpoint()
 
     blocks = blocking_keys(records, compiled, max_keys_per_record=config.max_keys_per_record)
     cand, dropped = candidate_pairs(blocks, max_block_size=config.max_block_size)
-    pairs = verify_pairs(cand, compiled)
+    pairs = verify_pairs(cand, compiled, records)
     edges = gate_edges(pairs, compiled).localCheckpoint()
     clusters = _cluster_assignments(records, edges, config.cc_max_iterations)
 
@@ -118,7 +133,7 @@ def _entity_closure(spark, values, records, edges, clusters, compiled, config) -
             crecords, compiled, max_keys_per_record=config.max_keys_per_record
         )
         ccand, _ = candidate_pairs(cblocks, max_block_size=config.max_block_size)
-        cpairs = verify_pairs(ccand, compiled)
+        cpairs = verify_pairs(ccand, compiled, crecords)
         cedges = gate_edges(cpairs, compiled).select("id_l", "id_r")
         if cedges.isEmpty():
             break
@@ -210,7 +225,7 @@ def resolve_all_checkpointed(
             records, compiled, max_keys_per_record=config.max_keys_per_record
         )
         cand, _ = candidate_pairs(blocks, max_block_size=config.max_block_size)
-        return verify_pairs(cand, compiled).drop(
+        return verify_pairs(cand, compiled, records).drop(
             "app_l", "app_r", "fields_l", "fields_r"
         )
 
@@ -221,7 +236,7 @@ def resolve_all_checkpointed(
             records, compiled, max_keys_per_record=config.max_keys_per_record
         )
         cand, _ = candidate_pairs(blocks, max_block_size=config.max_block_size)
-        full_pairs = verify_pairs(cand, compiled)
+        full_pairs = verify_pairs(cand, compiled, records)
         return gate_edges(full_pairs, compiled)
 
     if compiled.weights_all_equal:

@@ -514,7 +514,16 @@ def resolve(
             )
             for row in ext:
                 a = row["attribute"]
-                if compiled.attr_types.get(a) == "date" and a not in input_attrs:
+                atype = compiled.attr_types.get(a)
+                # typed validation of extracted values (Value.create at
+                # Job.java:841/:852) — a doc value that can't be the
+                # attribute's declared type is the reference's
+                # `by: zentity` error path (testJobZentityError)
+                if atype == "number" and not _NUMBER_RE.match(row["raw"]):
+                    raise ValidationException("Expected 'number' attribute data type.")
+                if atype == "boolean" and row["raw"] not in ("true", "false"):
+                    raise ValidationException("Expected 'boolean' attribute data type.")
+                if atype == "date" and a not in input_attrs:
                     continue
                 fmt = (input.attr_params().get(a) or {}).get("format")
                 state.add(a, row["raw"], fmt)

@@ -238,8 +238,13 @@ def build_records(values: DataFrame, compiled: CompiledModel,
     keep_raw = F.col("attribute").isin(fuzzy_attrs) if fuzzy_attrs else F.lit(False)
     keep_ts = F.col("attribute").isin(date_attrs) if date_attrs else F.lit(False)
 
+    # one explicit shuffle on record_id serves BOTH aggregations below:
+    # hash partitioning on record_id satisfies the clustered-distribution
+    # requirement of groupBy(record_id, source, attribute) and of
+    # groupBy(record_id, source), so Catalyst inserts no further exchange
     per_attr = (
-        values.groupBy("record_id", "source", "attribute")
+        values.repartition("record_id")
+        .groupBy("record_id", "source", "attribute")
         .agg(
             F.array_distinct(F.flatten(F.collect_list("eq_keys"))).alias("eq_keys"),
             F.array_distinct(F.flatten(F.collect_list("blk_keys"))).alias("blk_keys"),
