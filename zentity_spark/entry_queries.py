@@ -540,6 +540,40 @@ def _sql_lsh_buckets(n_planes: int = 6, dim: int = 64) -> str:
     return f"SELECT vec_id, label, CAST({bucket} AS BIGINT) AS bucket FROM embeddings ORDER BY vec_id"
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup: hyperplane-LSH bucket join + exact
+    cosine verify (the embedding member of the dedup family)."""
+    from zentity_spark.extras import embedding_near_dup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(e, dim=64, n_planes=6, threshold=0.2).orderBy(
+        "id_l", "id_r"
+    )
+
+
+def _sql_embedding_near_dup(n_planes: int = 6, dim: int = 64,
+                            threshold: float = 0.2) -> str:
+    import hashlib
+
+    plane_terms = []
+    for p in range(n_planes):
+        dot = " + ".join(
+            f"CAST(embedding[{j+1}] AS DOUBLE) * ({int(hashlib.md5(f'{p}_{j}'.encode()).hexdigest()[:4], 16) % 2001 - 1000}.0)"
+            for j in range(dim)
+        )
+        plane_terms.append(f"CASE WHEN ({dot}) > 0 THEN {2**p} ELSE 0 END")
+    bucket = " + ".join(plane_terms)
+    cos = ("round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), "
+           "CAST(r.embedding AS DOUBLE[])), 6)")
+    return f"""
+WITH b AS (SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings)
+SELECT l.vec_id AS id_l, r.vec_id AS id_r, {cos} AS cosine
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE {cos} >= {threshold}
+ORDER BY id_l, id_r
+"""
+
+
 def q_text_quality(spark, sf_dir):
     from zentity_spark.extras import text_quality
 
@@ -768,6 +802,7 @@ def all_queries():
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "lsh_buckets": q_lsh_buckets,
+        "embedding_near_dup": q_embedding_near_dup,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "token_counts": q_token_counts,
@@ -798,6 +833,7 @@ def all_oracles():
         "simhash": SQL_SIMHASH,
         "ann_topk": SQL_ANN_TOPK,
         "lsh_buckets": _sql_lsh_buckets(),
+        "embedding_near_dup": _sql_embedding_near_dup(),
         "text_quality": SQL_TEXT_QUALITY,
         "language_id": _sql_language_id(),
         "token_counts": SQL_TOKEN_COUNTS,

@@ -194,6 +194,38 @@ def ann_lsh_buckets(embeddings: DataFrame, dim: int = 64, n_planes: int = 8) -> 
     )
 
 
+def embedding_near_dup_pairs(embeddings: DataFrame, dim: int = 64,
+                             n_planes: int = 6,
+                             threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket join
+    (candidates share all n_planes sign bits) verified with exact cosine
+    ≥ threshold. The bucket join replaces the O(n²) cross product — at
+    100 TB, each bucket holds ~n/2^planes vectors and buckets are the
+    shuffle key, so the pair stage stays linear in practice; raise
+    n_planes (or multi-probe nearby buckets for recall) as n grows."""
+    b = embeddings.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket_expr(F.col("embedding"), dim, n_planes).alias("bucket"),
+    )
+    l = b.alias("l")
+    r = b.alias("r")
+    return (
+        l.join(r, F.col("l.bucket") == F.col("r.bucket"))
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_sim(F.col("l.embedding"), F.col("r.embedding")), 6),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("l.vec_id").alias("id_l"),
+            F.col("r.vec_id").alias("id_r"),
+            "cosine",
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Text analysis
 
@@ -276,14 +308,48 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "
                         kgram: int = 8, window: int = 4) -> DataFrame:
     """Document fingerprinting (winnowing): md5 over character k-grams,
     minimum per sliding window of `window` consecutive k-gram hashes —
-    the standard rolling-hash fingerprint (Schleimer et al., MOSS)."""
-    txt = canonical_text(F.col(text_col))
-    n = F.length(txt)
-    starts = F.sequence(F.lit(1), F.greatest(n - kgram + 1, F.lit(1)))
-    grams = F.transform(starts, lambda i: F.md5(txt.substr(i, F.lit(kgram))))
-    wins = F.sequence(F.lit(1), F.greatest(F.size(grams) - window + 1, F.lit(1)))
-    fps = F.array_distinct(F.transform(wins, lambda i: F.array_min(F.slice(grams, i, window))))
-    return docs.select(F.col(id_col).alias("doc_id"), F.explode(fps).alias("fingerprint"))
+    the standard rolling-hash fingerprint (Schleimer et al., MOSS).
+
+    Plan-shape constraint: the gram array must NOT be referenced inside a
+    per-window lambda (`transform(wins, i -> array_min(slice(grams, i,
+    w)))`). Catalyst inlines the alias into the lambda body and the O(n)
+    md5 array is then re-evaluated for EVERY window element — O(n²)
+    md5+regex per document (measured: 495s vs 1.4s on 500 docs; a
+    withColumn stage does not help, CollapseProject still inlines).
+    Instead the per-window minimum is an elementwise fold of `window`
+    SHIFTED slices via zip_with/least: zip_with arguments are evaluated
+    once per row, lambdas only see element variables, so the whole thing
+    stays linear and shuffle-free."""
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), canonical_text(F.col(text_col)).alias("_txt")
+    ).withColumn(
+        "_grams",
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("_txt") - kgram + 1, F.lit(1))
+            ),
+            lambda i: F.md5(F.col("_txt").substr(i, F.lit(kgram))),
+        ),
+    ).withColumn(
+        # windows = greatest(#grams - window + 1, 1), derived from text
+        # length so no size(_grams) re-evaluation is needed
+        "_nwins",
+        F.greatest(
+            F.greatest(F.length("_txt") - kgram + 1, F.lit(1)) - window + 1, F.lit(1)
+        ),
+    )
+    acc = F.slice(F.col("_grams"), F.lit(1), F.col("_nwins"))
+    for j in range(1, window):
+        # zip_with pads the shorter (shifted) slice with NULL; least()
+        # skips NULLs, so tail windows reduce over the elements that exist
+        acc = F.zip_with(
+            acc,
+            F.slice(F.col("_grams"), F.lit(j + 1), F.col("_nwins")),
+            lambda a, b: F.least(a, b),
+        )
+    return staged.select(
+        "doc_id", F.explode(F.array_distinct(acc)).alias("fingerprint")
+    )
 
 
 # ----------------------------------------------------------------------
