@@ -69,21 +69,39 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
     """edges(src, dst) → assignments(record_id, cluster_id) for every
     node that appears in an edge. Callers add singletons (records with no
-    edges) as their own clusters."""
+    edges) as their own clusters.
+
+    Shuffle sizing: the edge set after verification is typically orders
+    of magnitude smaller than the input, and each round runs ~6 small
+    shuffles — at the session's shuffle-partition setting the loop is
+    pure task-scheduling overhead (measured: 64-partition rounds were
+    3× slower than the same loop at 8 partitions on a 133K-edge graph).
+    The loop therefore temporarily sizes spark.sql.shuffle.partitions to
+    ~250K edges/partition (never above the session setting, so big edge
+    sets keep full parallelism) and restores the setting on exit."""
     e = (
         edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
     )
+    spark = e.sparkSession
+    n_edges = e.count()
+    conf_key = "spark.sql.shuffle.partitions"
+    session_parts = int(spark.conf.get(conf_key))
+    target = min(session_parts, max(8, n_edges // 250_000 + 1))
     prev_sig = None
-    for _ in range(max_iterations):
-        e = _large_star(e).localCheckpoint()
-        e = _small_star(e).localCheckpoint()
-        sig = _signature(e)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    try:
+        spark.conf.set(conf_key, str(target))
+        for _ in range(max_iterations):
+            e = _large_star(e).localCheckpoint()
+            e = _small_star(e).localCheckpoint()
+            sig = _signature(e)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    finally:
+        spark.conf.set(conf_key, str(session_parts))
     # converged: e is a star graph node→root
     roots = e.select(F.col("dst").alias("record_id")).distinct().withColumn(
         "cluster_id", F.col("record_id")

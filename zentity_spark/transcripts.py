@@ -129,13 +129,49 @@ def eq_keys_for_kind(kind: Column, raw: Column) -> Column:
     )
 
 
+def _deletion_keys(norm: Column) -> Column:
+    """Symmetric-delete (SymSpell) keys for edit-distance-1 blocking:
+    {'d:'+s} ∪ {'d:'+s minus one char}. Two strings within one edit
+    (substitution / insertion / deletion) always share a key, and the
+    keys are as well-distributed as the values themselves — unlike
+    soundex, whose ~9K global code space degenerates into O(n/9K)-sized
+    blocks at billion-row scale."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm), F.lit(1))),
+        lambda i: F.concat(
+            F.lit("d:"),
+            norm.substr(F.lit(1), i - 1),
+            norm.substr(i + 1, F.length(norm)),
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(F.concat(F.lit("d:"), norm)), dels))
+
+
+# numeric fuzziness bounds that the deletion-1 scheme fully covers
+_DELETION_SAFE_THRESHOLDS = ("0", "1", "0.0", "1.0")
+
+
 def blk_keys_for_kind(kind: Column, raw: Column, ts: Column, threshold: Column) -> Column:
     """Blocking-only recall keys: candidates sharing one are VERIFIED
-    pairwise, never matched outright. Date buckets 'dt:<b>'/'dt:<b+1>' of
-    floor(ts/window) (two values within ±window always share a bucket
-    key); fuzzy/JW block on normalized form + phonetic code."""
+    pairwise, never matched outright.
+
+    - date_window: buckets 'dt:<b>'/'dt:<b+1>' of floor(ts/window) — two
+      values within ±window always share a bucket key.
+    - fuzzy/levenshtein, fuzziness ≤ 1: deletion-neighborhood keys
+      (complete recall for one edit, uniform block sizes at any scale).
+    - fuzzy/levenshtein AUTO/2 and jaro_winkler: deletion keys ∪
+      normalized form ∪ soundex — the phonetic key keeps recall for
+      2-edit/phonetic pairs (coarse; the block-size cap and AQE skew
+      handling bound the damage on hot codes).
+    """
     norm = F.regexp_replace(raw, "[^a-zA-Z0-9]", "")
     bucket = F.floor(ts / threshold.cast("double"))
+    coarse = F.array_distinct(
+        F.concat(
+            _deletion_keys(norm),
+            F.array(F.concat(F.lit("sx:"), F.soundex(raw))),
+        )
+    )
     return (
         F.when(
             kind == "date_window",
@@ -148,9 +184,11 @@ def blk_keys_for_kind(kind: Column, raw: Column, ts: Column, threshold: Column) 
             ).otherwise(_empty()),
         )
         .when(
-            kind.isin("fuzzy", "levenshtein", "jaro_winkler"),
-            F.array_distinct(F.array(norm, F.concat(F.lit("sx:"), F.soundex(raw)))),
+            kind.isin("fuzzy", "levenshtein")
+            & threshold.isin(*_DELETION_SAFE_THRESHOLDS),
+            _deletion_keys(norm),
         )
+        .when(kind.isin("fuzzy", "levenshtein", "jaro_winkler"), coarse)
         .otherwise(_empty())
     )
 
