@@ -205,7 +205,7 @@ def scaling_probe() -> dict:
 
 
 def scaling_worker_main(cpus: int):
-    sc_entities = int(os.environ.get("BENCH_SCALING_ENTITIES", "100000"))
+    sc_entities = int(os.environ.get("BENCH_SCALING_ENTITIES", "400000"))
     spark = make_spark(cpus, app=f"zentity-scaling-{cpus}")
     spark.sparkContext.setLogLevel("ERROR")
     run_pipeline(spark, 2000)  # warm up JVM/codegen before timing

@@ -50,6 +50,10 @@ def main(argv=None):
     b.add_argument("--input-format", default="parquet")
     b.add_argument("--max-block-size", type=int, default=10_000)
     b.add_argument("--entity-closure", action="store_true")
+    b.add_argument("--max-value-frequency", type=int, default=None,
+                   help="drop attribute values held by more than this many records")
+    b.add_argument("--score-pairs", action="store_true",
+                   help="also commit the scored-pairs similarity-feature stage")
 
     r = sub.add_parser("resolve", help="seeded single-entity resolution")
     r.add_argument("--model", required=True)
@@ -82,6 +86,8 @@ def main(argv=None):
             config=ResolutionConfig(
                 max_block_size=args.max_block_size,
                 entity_closure=args.entity_closure,
+                max_value_frequency=args.max_value_frequency,
+                score_candidate_pairs=args.score_pairs,
             ),
         )
         out = {

@@ -66,6 +66,20 @@ class ResolutionResult:
     scored_pairs: DataFrame | None = None  # similarity features per candidate pair
 
 
+def _build_filtered_values(spark, turns, compiled, config) -> DataFrame:
+    """Long values table with the hot-value (junk-value) filter applied."""
+    values = build_values(spark, turns, compiled)
+    if config.max_value_frequency is not None:
+        hot = (
+            values.groupBy("attribute", "raw")
+            .agg(F.count_distinct("record_id").alias("freq"))
+            .where(F.col("freq") > config.max_value_frequency)
+            .select("attribute", "raw")
+        )
+        values = values.join(F.broadcast(hot), ["attribute", "raw"], "left_anti")
+    return values
+
+
 def _cluster_assignments(records: DataFrame, edges: DataFrame,
                          cc_max_iterations: int) -> DataFrame:
     assignments = connected_components(
@@ -90,15 +104,7 @@ def resolve_all(
     compiled = model if isinstance(model, CompiledModel) else compile_model(model)
 
     parsed = parse_turns(turns)
-    values = build_values(spark, turns, compiled)
-    if config.max_value_frequency is not None:
-        hot = (
-            values.groupBy("attribute", "raw")
-            .agg(F.count_distinct("record_id").alias("freq"))
-            .where(F.col("freq") > config.max_value_frequency)
-            .select("attribute", "raw")
-        )
-        values = values.join(F.broadcast(hot), ["attribute", "raw"], "left_anti")
+    values = _build_filtered_values(spark, turns, compiled, config)
     records = build_records(values, compiled, parsed).localCheckpoint()
 
     blocks = blocking_keys(records, compiled, max_keys_per_record=config.max_keys_per_record)
@@ -180,6 +186,7 @@ def _fingerprint(model_spec: dict, config: ResolutionConfig, input_token: str) -
                 "max_block_size": config.max_block_size,
                 "max_keys_per_record": config.max_keys_per_record,
                 "entity_closure": config.entity_closure,
+                "max_value_frequency": config.max_value_frequency,
             },
             "input": input_token,
         },
@@ -235,7 +242,9 @@ def resolve_all_checkpointed(
 
     records = stage(
         "records",
-        lambda: build_records(build_values(spark, turns, compiled), compiled, parsed),
+        lambda: build_records(
+            _build_filtered_values(spark, turns, compiled, config), compiled, parsed
+        ),
     )
 
     def build_pairs():
@@ -266,5 +275,18 @@ def resolve_all_checkpointed(
         "clusters",
         lambda: _cluster_assignments(records, edges, config.cc_max_iterations),
     )
+
+    if config.score_candidate_pairs:
+        from zentity_spark.scoring import score_pairs
+        from zentity_spark.transcripts import assemble_conversations
+
+        def build_scored():
+            conv_texts = assemble_conversations(turns).select(
+                F.col("conv_id").alias("record_id"), "conv_text"
+            )
+            return score_pairs(pairs.select("id_l", "id_r"), conv_texts)
+
+        stage("scored_pairs", build_scored)
+
     return {"run_id": run_id, "fingerprint": fp, "stages": manifests,
             "clusters": clusters}
