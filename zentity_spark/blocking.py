@@ -95,16 +95,32 @@ def blocking_keys(records: DataFrame, compiled: CompiledModel,
     return reduce(DataFrame.unionByName, parts)
 
 
-def candidate_pairs(blocks: DataFrame, max_block_size: int | None = 10000) -> tuple[DataFrame, DataFrame]:
-    """Self-join blocks on (resolver, ckey) → candidate pairs with both
-    sides' match material. Returns (candidates, dropped_blocks_metrics).
+def candidate_pairs(blocks: DataFrame, max_block_size: int | None = 10000,
+                    salt_threshold: int | None = 2000,
+                    salt_target: int = 500) -> tuple[DataFrame, DataFrame]:
+    """Self-join blocks on (resolver, ckey) → candidate pairs. Returns
+    (candidates, dropped_blocks_metrics).
 
-    Oversized blocks (hot keys — skew) are excluded deterministically and
-    reported; at production scale pair generation inside such a block is
-    O(b²) and must be an explicit decision, not an accident.
+    Skew handling, in two tiers (north_star: "salted keys on hot
+    blocks" + deterministic caps):
+
+    - blocks larger than max_block_size (degenerate hot keys) are
+      excluded deterministically and reported in the lineage metrics —
+      at production scale an uncapped hot key is O(b²) pairs and must be
+      an explicit decision, not an accident;
+    - blocks larger than salt_threshold (hot but legitimate) go through
+      a SALTED self-join: the left side gets salt = hash(id) mod s with
+      s = ceil(block_size / salt_target), the right side is replicated
+      across all s salts, and the join key becomes (resolver, ckey,
+      salt). Every pair is still produced exactly once (pair (x, y),
+      x < y, meets only at x's salt), but no single task owns the whole
+      b² — the block's pair generation spreads over s tasks. AQE
+      skew-join splitting remains on as the runtime backstop.
     """
-    if max_block_size is not None:
+    sizes = None
+    if max_block_size is not None or salt_threshold is not None:
         sizes = blocks.groupBy("resolver", "ckey").agg(F.count("*").alias("block_size"))
+    if max_block_size is not None:
         dropped = sizes.where(F.col("block_size") > max_block_size)
         blocks = blocks.join(
             F.broadcast(dropped.select("resolver", "ckey")),
@@ -114,12 +130,42 @@ def candidate_pairs(blocks: DataFrame, max_block_size: int | None = 10000) -> tu
     else:
         dropped = None
 
-    left = blocks.select("resolver", "ckey", F.col("record_id").alias("id_l"))
-    right = blocks.select("resolver", "ckey", F.col("record_id").alias("id_r"))
-    cand = (
-        left.join(right, ["resolver", "ckey"])
-        .where(F.col("id_l") < F.col("id_r"))
-        .drop("ckey")
-        .dropDuplicates(["resolver", "id_l", "id_r"])
-    )
-    return cand, dropped
+    def pair_join(b: DataFrame, extra_key: list[str]) -> DataFrame:
+        left = b.select("resolver", "ckey", *extra_key, F.col("record_id").alias("id_l"))
+        right = b.select("resolver", "ckey", *extra_key, F.col("record_id").alias("id_r"))
+        return (
+            left.join(right, ["resolver", "ckey", *extra_key])
+            .where(F.col("id_l") < F.col("id_r"))
+            .select("resolver", "id_l", "id_r")
+        )
+
+    if salt_threshold is None:
+        cand = pair_join(blocks, [])
+    else:
+        hot_keys = sizes.where(F.col("block_size") > salt_threshold).select(
+            "resolver", "ckey", "block_size"
+        )
+        sized = blocks.join(F.broadcast(hot_keys), ["resolver", "ckey"], "left")
+        cold = sized.where(F.col("block_size").isNull()).drop("block_size")
+        hot = sized.where(F.col("block_size").isNotNull()).withColumn(
+            "n_salts", F.ceil(F.col("block_size") / F.lit(salt_target)).cast("int")
+        )
+        hot_l = hot.withColumn(
+            "salt", F.pmod(F.xxhash64("record_id"), F.col("n_salts")).cast("int")
+        )
+        # right side replicated across every salt of its block
+        hot_r = hot.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1))
+        )
+        hot_pairs = (
+            hot_l.select("resolver", "ckey", "salt", F.col("record_id").alias("id_l"))
+            .join(
+                hot_r.select("resolver", "ckey", "salt", F.col("record_id").alias("id_r")),
+                ["resolver", "ckey", "salt"],
+            )
+            .where(F.col("id_l") < F.col("id_r"))
+            .select("resolver", "id_l", "id_r")
+        )
+        cand = pair_join(cold, []).unionByName(hot_pairs)
+
+    return cand.dropDuplicates(["resolver", "id_l", "id_r"]), dropped
