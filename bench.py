@@ -149,8 +149,19 @@ def main():
 
     if os.environ.get("BENCH_SCALING") == "1":
         out["scaling"] = scaling_probe()
+        with open(_SCALING_CACHE, "w") as fh:
+            json.dump({**out["scaling"], "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, fh)
+    elif os.path.exists(_SCALING_CACHE):
+        # attach the last measured scaling evidence, labeled as cached —
+        # the probe takes ~40 min and is run explicitly (BENCH_SCALING=1;
+        # method + numbers documented in BASELINE.md "Measured")
+        with open(_SCALING_CACHE) as fh:
+            out["scaling"] = {**json.load(fh), "cached": True}
 
     print(json.dumps(out))
+
+
+_SCALING_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
 
 
 def scaling_probe() -> dict:
