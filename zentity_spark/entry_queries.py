@@ -386,6 +386,40 @@ SELECT node, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY node
 """
 
 
+def q_bfs_hops(spark, sf_dir):
+    """J7 `_hop` provenance: BFS depth of every reachable node from the
+    hop-0 seed set over the order–part bipartite subgraph
+    (clustering.bfs_depths — the batch analog of the reference's
+    per-hit `_hop` decoration, Job.java:1096-1113)."""
+    from zentity_spark.clustering import bfs_depths
+
+    edges = _cc_edges(spark, sf_dir)
+    seeds = spark.createDataFrame([("p1",), ("p2",)], "record_id string")
+    return (
+        bfs_depths(edges, seeds, max_hops=20)
+        .select(F.col("record_id").alias("node"), F.col("hop").cast("int").alias("hop"))
+        .orderBy("node")
+    )
+
+
+SQL_BFS_HOPS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem WHERE l_partkey < 40
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), walk(node, hop) AS (
+  SELECT node, 0 FROM (VALUES ('p1'), ('p2')) AS s(node)
+  UNION
+  SELECT sym.dst, walk.hop + 1
+  FROM sym JOIN walk ON sym.src = walk.node
+  WHERE walk.hop < 20
+)
+SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY node ORDER BY node
+"""
+
+
 def q_cluster_sizes(spark, sf_dir):
     """A8-style aggregation over the clustering output."""
     from zentity_spark.clustering import connected_components
@@ -852,6 +886,7 @@ def all_queries():
         "pairs_date_window": q_pairs_date_window,
         "scored_pairs": q_scored_pairs,
         "connected_components": q_connected_components,
+        "bfs_hops": q_bfs_hops,
         "cluster_sizes": q_cluster_sizes,
         "composite_score": q_composite_score,
         "dedup_exact": q_dedup_exact,
@@ -884,6 +919,7 @@ def all_oracles():
         "pairs_date_window": SQL_PAIRS_DATE_WINDOW,
         "scored_pairs": SQL_SCORED_PAIRS,
         "connected_components": SQL_CONNECTED_COMPONENTS,
+        "bfs_hops": SQL_BFS_HOPS,
         "cluster_sizes": SQL_CLUSTER_SIZES,
         "composite_score": SQL_COMPOSITE_SCORE,
         "dedup_exact": SQL_DEDUP_EXACT,
