@@ -100,10 +100,14 @@ QUERY_SUBSET = [
     "candidate_pairs",
     "pairs_levenshtein",
     "pairs_jaro_winkler",
+    # scored_pairs is exercised inside the headline resolve_all (the
+    # sf0.1 events-derived pair set alone is ~0.9M pairs / ~2 min)
     "connected_components",
+    "bfs_hops",
     "composite_score",
     "dedup_exact",
     "minhash_signatures",
+    "embedding_near_dup",
     "ann_topk",
     "text_quality",
     "sessionize",
