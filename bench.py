@@ -208,9 +208,25 @@ def scaling_probe() -> dict:
             proc = subprocess.run(
                 cmd, capture_output=True, text=True, env=env, timeout=3600
             )
-            line = proc.stdout.strip().splitlines()[-1]
-            best[n] = max(best[n], float(json.loads(line)["turns_per_sec"]))
+            lines = proc.stdout.strip().splitlines()
+            if proc.returncode != 0 or not lines:
+                # a crashed/timed-out worker must not crash ~40 min of
+                # probe work: report and skip the rep
+                print(
+                    f"scaling_probe: worker local[{n}] failed "
+                    f"(rc={proc.returncode}); stderr tail: "
+                    + "\n".join(proc.stderr.strip().splitlines()[-5:]),
+                    file=sys.stderr,
+                )
+                continue
+            best[n] = max(best[n], float(json.loads(lines[-1])["turns_per_sec"]))
     lo, hi = levels[0], levels[-1]
+    if best[lo] <= 0.0 or best[hi] <= 0.0:
+        return {
+            "levels": levels,
+            "pinned": pin,
+            "error": "scaling probe failed: no successful rep at one or both levels",
+        }
     return {
         **{f"throughput_local{n}": round(best[n], 1) for n in levels},
         "levels": levels,

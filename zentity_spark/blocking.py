@@ -65,34 +65,53 @@ def _composite_keys(attrs_col: Column, attributes: list[str],
 def blocking_keys(records: DataFrame, compiled: CompiledModel,
                   resolvers: list[str] | None = None,
                   max_keys_per_record: int = 256,
-                  hash_keys: bool = True) -> DataFrame:
+                  hash_keys: bool = True,
+                  return_key_capped: bool = False):
     """records (wide) → (resolver, ckey, record_id, source, attrs,
     app_resolvers, attr_name_fields). One output row per composite key.
 
     ckey is a 64-bit hash of the concatenated per-attribute keys: the
     join key stays 8 bytes however wide the resolver is; collisions are
     harmless because pairs.verify_pairs re-checks every attribute.
-    """
+
+    With return_key_capped=True, also returns a (resolver, record_id)
+    DataFrame of records whose composite-key set was TRUNCATED by
+    max_keys_per_record — a recall loss that must reach the lineage
+    metrics, not happen silently. Detection is free of double
+    computation: the key array is sliced to max_keys+1 and posexplode'd
+    once; a row at pos == max_keys is the truncation sentinel (excluded
+    from the blocks output)."""
     resolvers = resolvers if resolvers is not None else sorted(compiled.resolver_attrs)
     parts = []
+    cap_parts = []
     for r in resolvers:
         attrs = compiled.resolver_attrs[r]
-        ck = _composite_keys(F.col("attrs"), attrs, max_keys_per_record)
+        ck = _composite_keys(F.col("attrs"), attrs, max_keys_per_record + 1)
         # SKINNY rows: (resolver, key, id) only — match material is
         # re-joined per record AFTER pair dedup (pairs.verify_pairs), so
         # the blocking shuffle moves 3 small columns, not per-key copies
         # of the attribute maps
-        part = records.select(
+        staged = records.select(
             F.lit(r).alias("resolver"),
-            F.explode(ck).alias("ckey_s"),
+            F.posexplode(ck).alias("pos", "ckey_s"),
             "record_id",
         )
+        if return_key_capped:
+            cap_parts.append(
+                staged.where(F.col("pos") >= max_keys_per_record).select(
+                    "resolver", "record_id"
+                )
+            )
+        part = staged.where(F.col("pos") < max_keys_per_record).drop("pos")
         if hash_keys:
             part = part.withColumn("ckey", F.xxhash64("resolver", "ckey_s")).drop("ckey_s")
         else:
             part = part.withColumnRenamed("ckey_s", "ckey")
         parts.append(part)
-    return reduce(DataFrame.unionByName, parts)
+    blocks = reduce(DataFrame.unionByName, parts)
+    if return_key_capped:
+        return blocks, reduce(DataFrame.unionByName, cap_parts)
+    return blocks
 
 
 def candidate_pairs(blocks: DataFrame, max_block_size: int | None = 10000,

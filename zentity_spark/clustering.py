@@ -38,23 +38,30 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return (row["n"], row["h"])
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    b = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+def _large_star(edges: DataFrame, n_parts: int) -> DataFrame:
+    # explicit hash partitioning on the join/group key: the groupBy and
+    # the join both reuse it (no further exchange), and an explicit
+    # numPartitions is exempt from AQE coalescing — the round runs at
+    # the edge-sized parallelism regardless of the session setting
+    b = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).repartition(n_parts, "src")
     mins = b.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
     return (
         b.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
+        .repartition(n_parts, "src", "dst")
+        .dropDuplicates()
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, n_parts: int) -> DataFrame:
     # orient larger → smaller
     b = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-    ).where(F.col("src") != F.col("dst"))
+    ).where(F.col("src") != F.col("dst")).repartition(n_parts, "src")
     mins = b.groupBy("src").agg(F.min("dst").alias("m"))
     joined = b.join(mins, "src")
     nbr_edges = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
@@ -62,7 +69,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return (
         nbr_edges.union(self_edges)
         .where(F.col("src") != F.col("dst"))
-        .distinct()
+        .repartition(n_parts, "src", "dst")
+        .dropDuplicates()
     )
 
 
@@ -76,9 +84,13 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     shuffles — at the session's shuffle-partition setting the loop is
     pure task-scheduling overhead (measured: 64-partition rounds were
     3× slower than the same loop at 8 partitions on a 133K-edge graph).
-    The loop therefore temporarily sizes spark.sql.shuffle.partitions to
-    ~250K edges/partition (never above the session setting, so big edge
-    sets keep full parallelism) and restores the setting on exit."""
+    The loop therefore sizes every round's shuffles to ~250K
+    edges/partition via EXPLICIT repartition(numPartitions, keys) on the
+    join/group keys (never above the session setting, so big edge sets
+    keep full parallelism). Explicit repartitioning — rather than
+    mutating spark.sql.shuffle.partitions for the loop's duration —
+    keeps the override scoped to these queries: concurrent work on the
+    same SparkSession is unaffected."""
     e = (
         edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
         .where(F.col("src") != F.col("dst"))
@@ -87,21 +99,19 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     )
     spark = e.sparkSession
     n_edges = e.count()
-    conf_key = "spark.sql.shuffle.partitions"
-    session_parts = int(spark.conf.get(conf_key))
+    try:
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        session_parts = spark.sparkContext.defaultParallelism
     target = min(session_parts, max(8, n_edges // 250_000 + 1))
     prev_sig = None
-    try:
-        spark.conf.set(conf_key, str(target))
-        for _ in range(max_iterations):
-            e = _large_star(e).localCheckpoint()
-            e = _small_star(e).localCheckpoint()
-            sig = _signature(e)
-            if sig == prev_sig:
-                break
-            prev_sig = sig
-    finally:
-        spark.conf.set(conf_key, str(session_parts))
+    for _ in range(max_iterations):
+        e = _large_star(e, target).localCheckpoint()
+        e = _small_star(e, target).localCheckpoint()
+        sig = _signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
     # converged: e is a star graph node→root
     roots = e.select(F.col("dst").alias("record_id")).distinct().withColumn(
         "cluster_id", F.col("record_id")

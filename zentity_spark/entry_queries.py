@@ -341,8 +341,10 @@ cand AS (
 SELECT cand.conv_l, cand.conv_r,
        round(jaro_winkler_similarity(substr(lt.conv_text, 1, 200), substr(rt.conv_text, 1, 200)), 6) AS jw_text,
        CAST(levenshtein(substr(lt.conv_text, 1, 32), substr(rt.conv_text, 1, 32)) AS INT) AS lev_prefix,
-       round(CAST(len(list_intersect(ltk.toks, rtk.toks)) AS DOUBLE)
-             / greatest(len(list_distinct(list_concat(ltk.toks, rtk.toks))), 1), 6) AS token_jaccard
+       CASE WHEN len(list_distinct(list_concat(ltk.toks, rtk.toks))) = 0 THEN 1.0
+            ELSE round(CAST(len(list_intersect(ltk.toks, rtk.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(ltk.toks, rtk.toks))), 6)
+       END AS token_jaccard
 FROM cand
 JOIN txt lt ON lt.conv_id = cand.conv_l
 JOIN txt rt ON rt.conv_id = cand.conv_r

@@ -38,22 +38,38 @@ from zentity_spark.compiler import CompiledModel
 
 def _jw_max_udf():
     """max Jaro-Winkler similarity between two small string sets (the
-    per-record value lists of one attribute). Arrow-batched."""
+    per-record value lists of one attribute). Arrow-batched.
+
+    The value-pair cross product is flattened across the WHOLE Arrow
+    batch first, scored with ONE vectorized jaro_winkler_pandas call,
+    then segment-maxed back to rows (numpy maximum.at) — no per-value
+    pandas allocations inside the loop. Kept as a scalar UDF (rather
+    than explode→score→groupBy-max) so the predicate stays a plain
+    boolean Column composable inside attribute_match_expr's per-resolver
+    OR tree, and the pair set isn't re-shuffled for a groupBy."""
     from zentity_spark.matchers import jaro_winkler_pandas
 
     def jw_max(ls, rs):
+        import numpy as np
         import pandas as pd
 
-        out = []
-        for lv, rv in zip(ls, rs):
-            best = 0.0
-            if lv is not None and rv is not None:
-                for u in lv:
-                    sims = jaro_winkler_pandas(pd.Series([u] * len(rv)), pd.Series(list(rv)))
-                    m = sims.max()
-                    if m == m and m > best:  # NaN-safe
-                        best = float(m)
-            out.append(best)
+        flat_l: list = []
+        flat_r: list = []
+        seg: list = []
+        for i, (lv, rv) in enumerate(zip(ls, rs)):
+            if lv is None or rv is None:
+                continue
+            for u in lv:
+                for v in rv:
+                    flat_l.append(u)
+                    flat_r.append(v)
+                    seg.append(i)
+        out = np.zeros(len(ls), dtype="float64")
+        if flat_l:
+            sims = jaro_winkler_pandas(
+                pd.Series(flat_l), pd.Series(flat_r)
+            ).to_numpy(dtype="float64", na_value=0.0)
+            np.maximum.at(out, np.asarray(seg, dtype="int64"), sims)
         return pd.Series(out, dtype="float64")
 
     return pandas_udf(jw_max, "double")

@@ -107,13 +107,16 @@ def resolve_all(
     values = _build_filtered_values(spark, turns, compiled, config)
     records = build_records(values, compiled, parsed).localCheckpoint()
 
-    blocks = blocking_keys(records, compiled, max_keys_per_record=config.max_keys_per_record)
+    blocks, key_capped = blocking_keys(
+        records, compiled, max_keys_per_record=config.max_keys_per_record,
+        return_key_capped=True,
+    )
     cand, dropped = candidate_pairs(blocks, max_block_size=config.max_block_size)
     pairs = verify_pairs(cand, compiled, records)
     edges = gate_edges(pairs, compiled).localCheckpoint()
     clusters = _cluster_assignments(records, edges, config.cc_max_iterations)
 
-    metrics = []
+    metrics = [("blocking.key_capped_records", key_capped)]
     if dropped is not None:
         metrics.append(("blocking.dropped_blocks", dropped))
 
@@ -181,6 +184,10 @@ def _fingerprint(model_spec: dict, config: ResolutionConfig, input_token: str) -
 
     blob = _json.dumps(
         {
+            # bump when a stage's committed schema changes (v2: candidates
+            # stage added; pairs stage now keeps the gate columns) so
+            # resume never reads an old-shape snapshot
+            "stage_schema_version": 2,
             "model": model_spec,
             "config": {
                 "max_block_size": config.max_block_size,
@@ -247,29 +254,39 @@ def resolve_all_checkpointed(
         ),
     )
 
-    def build_pairs():
-        blocks = blocking_keys(
-            records, compiled, max_keys_per_record=config.max_keys_per_record
+    _capbox = {}
+
+    def build_cand():
+        blocks, key_capped = blocking_keys(
+            records, compiled, max_keys_per_record=config.max_keys_per_record,
+            return_key_capped=True,
         )
+        _capbox["key_capped"] = key_capped
         cand, _ = candidate_pairs(blocks, max_block_size=config.max_block_size)
-        return verify_pairs(cand, compiled, records).drop(
-            "app_l", "app_r", "fields_l", "fields_r"
+        return cand
+
+    # candidates are a first-class committed stage: blocking runs ONCE
+    # per run, both the verify and scored-pairs stages derive from the
+    # same committed pair set, and the candidate counts get lineage rows
+    cand = stage("candidates", build_cand)
+    if "key_capped" in _capbox:
+        # lineage for the max_keys_per_record truncation (recall loss
+        # must be observable, same as the dropped-blocks cap)
+        store.commit(
+            partition_metrics(_capbox["key_capped"], "blocking.key_capped", run_id),
+            "metrics", stage="blocking.key_capped", fingerprint="",
         )
 
-    pairs = stage("pairs", build_pairs)
-
-    def build_edges():
-        blocks = blocking_keys(
-            records, compiled, max_keys_per_record=config.max_keys_per_record
-        )
-        cand, _ = candidate_pairs(blocks, max_block_size=config.max_block_size)
-        full_pairs = verify_pairs(cand, compiled, records)
-        return gate_edges(full_pairs, compiled)
+    # the pairs stage keeps the weight-gate columns (app_*/fields_*) so
+    # the edges stage never re-runs blocking+verify for weighted models
+    pairs_full = stage("pairs", lambda: verify_pairs(cand, compiled, records))
 
     if compiled.weights_all_equal:
-        edges = stage("edges", lambda: pairs.select("id_l", "id_r", "matched_resolvers"))
+        edges = stage(
+            "edges", lambda: pairs_full.select("id_l", "id_r", "matched_resolvers")
+        )
     else:
-        edges = stage("edges", build_edges)
+        edges = stage("edges", lambda: gate_edges(pairs_full, compiled))
 
     clusters = stage(
         "clusters",
@@ -281,10 +298,16 @@ def resolve_all_checkpointed(
         from zentity_spark.transcripts import assemble_conversations
 
         def build_scored():
+            # score ALL candidate pairs (pre-verification) — the same
+            # artifact resolve_all produces, so both entry points agree
+            # on which pairs carry similarity features
             conv_texts = assemble_conversations(turns).select(
                 F.col("conv_id").alias("record_id"), "conv_text"
             )
-            return score_pairs(pairs.select("id_l", "id_r"), conv_texts)
+            return score_pairs(
+                cand.select("id_l", "id_r").dropDuplicates(["id_l", "id_r"]),
+                conv_texts,
+            )
 
         stage("scored_pairs", build_scored)
 
