@@ -256,13 +256,56 @@ WHERE l.c_custkey < r.c_custkey
 
 
 def q_soundex_codes(spark, sf_dir):
-    """Phonetic matcher key projection (Spark built-in soundex). No
-    DuckDB oracle (function unavailable there) → rows-only check."""
+    """Phonetic matcher key projection (Spark built-in soundex)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     first_word = F.substring_index("text", " ", 1)
     return d.select(
         "doc_id", F.soundex(first_word).alias("soundex_code")
     ).orderBy("doc_id")
+
+
+# DuckDB has no soundex() — express Spark's algorithm
+# (UTF8String.soundex: US_ENGLISH_MAPPING, H/W transparent, vowels and
+# non-letters reset the last code, non-letter FIRST char returns the
+# input unchanged) as pure SQL over the per-character code list:
+# remove H/W codes ('7'), collapse consecutive duplicates, drop the
+# first char's own code, drop separators ('0'), keep 3 digits.
+SQL_SOUNDEX = """
+WITH w AS (
+  SELECT doc_id, split_part(text, ' ', 1) AS tok FROM documents
+), c AS (
+  SELECT doc_id, tok, upper(tok) AS u, strlen(tok) AS n FROM w
+), codes AS (
+  SELECT doc_id, tok, u, n,
+    -- seed = first char's code (kept even when '7': it seeds lastCode
+    -- without ever blocking, since later '7's are removed outright);
+    -- tail = codes of chars 2..n with H/W ('7') removed, making H/W
+    -- transparent to the consecutive-duplicate collapse
+    list_prepend(
+      CASE WHEN substr(u, 1, 1) NOT BETWEEN 'A' AND 'Z' THEN '0'
+           ELSE substr('01230127022455012623017202',
+                       ord(substr(u, 1, 1)) - 64, 1) END,
+      list_filter(
+        list_transform(generate_series(2, greatest(n, 1)),
+          i -> CASE WHEN substr(u, i, 1) NOT BETWEEN 'A' AND 'Z' THEN '0'
+                    ELSE substr('01230127022455012623017202',
+                                ord(substr(u, i, 1)) - 64, 1) END),
+        x -> x <> '7')) AS nf
+  FROM c
+), sq AS (
+  SELECT doc_id, tok, u, n,
+    list_filter(nf, (x, i) -> i = 1 OR x <> nf[i - 1]) AS sq
+  FROM codes
+)
+SELECT doc_id,
+  CASE WHEN n = 0 THEN ''
+       WHEN substr(u, 1, 1) NOT BETWEEN 'A' AND 'Z' THEN tok
+       ELSE substr(u, 1, 1) ||
+            rpad(coalesce(array_to_string(
+                   list_filter(sq[2:], x -> x <> '0')[1:3], ''), ''), 3, '0')
+  END AS soundex_code
+FROM sq ORDER BY doc_id
+"""
 
 
 def q_pairs_date_window(spark, sf_dir):
@@ -917,7 +960,7 @@ def all_oracles():
         "candidate_pairs": SQL_CANDIDATE_PAIRS,
         "pairs_levenshtein": SQL_PAIRS_LEVENSHTEIN,
         "pairs_jaro_winkler": SQL_PAIRS_JARO_WINKLER,
-        # soundex_codes: no DuckDB soundex → rows-only check
+        "soundex_codes": SQL_SOUNDEX,
         "pairs_date_window": SQL_PAIRS_DATE_WINDOW,
         "scored_pairs": SQL_SCORED_PAIRS,
         "connected_components": SQL_CONNECTED_COMPONENTS,
