@@ -517,6 +517,343 @@ FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
 
 
 # ----------------------------------------------------------------------
+# Seeded hop traversal + scope + terms + weights (contract queries for
+# the operators previously evidenced only by pytest: J5, P11-P14, P7/P8,
+# S-hop). The seeded queries run over a deterministically SPARSIFIED
+# transcript derivation (events with event_id % 11 == 0): the full
+# error-value graph at sf0.01 is near-complete (everything reachable in
+# one hop), while the sparse graph has 5-hop BFS structure — a real
+# traversal test.
+
+SQL_TRANSCRIPTS_SPARSE = """
+t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         event_type AS role,
+         event_type || '=' || regexp_extract(props, '"k": (\\d+)', 1) AS text,
+         ts
+  FROM events WHERE event_id % 11 = 0
+)
+"""
+
+# per-conversation distinct error-attribute values in the sparse graph
+SQL_SPARSE_ERROR_VALUES = SQL_TRANSCRIPTS_SPARSE + """,
+v AS (
+  SELECT DISTINCT conv_id, regexp_extract(text, '=(\\d+)$', 1) AS value
+  FROM t WHERE role = 'error' AND regexp_extract(text, '=(\\d+)$', 1) <> ''
+)
+"""
+
+
+def transcripts_from_events_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_id") % 11 == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(
+            "event_type", F.lit("="), F.regexp_extract("props", '"k": (\\d+)', 1)
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+    )
+
+
+# single-attribute model for seeded traversal: accumulated-value hop
+# semantics over one attribute coincide exactly with bipartite BFS on
+# the record↔value graph, which a recursive CTE can oracle-check
+SEEDED_MODEL = {
+    "attributes": {"k_error": {}},
+    "resolvers": {"r_error": {"attributes": ["k_error"]}},
+    "matchers": {"exact": {"clause": {"term": {"{{ field }}": "{{ value }}"}}}},
+    "indices": {
+        "default": {"fields": {"error": {"attribute": "k_error", "matcher": "exact"}}}
+    },
+}
+
+_SEED_VALUES = ["1", "2"]
+
+
+def _run_seeded(spark, sf_dir, scope=None):
+    from zentity_spark.resolve import Input, SeededConfig, resolve
+
+    turns = transcripts_from_events_sparse(spark, sf_dir)
+    hits = resolve(
+        spark,
+        turns,
+        Model(SEEDED_MODEL),
+        Input(attributes={"k_error": list(_SEED_VALUES)}, scope=scope),
+        SeededConfig(max_hops=10, max_docs_per_query=1_000_000),
+    )
+    return spark.createDataFrame(
+        [(h.record_id, h.hop) for h in hits], "conv_id string, hop int"
+    ).orderBy("conv_id")
+
+
+def q_seeded_bfs(spark, sf_dir):
+    """Seeded hop traversal (Job.java:1075-1172 run/traverse): hits with
+    hop provenance. With a single-attribute resolver, the reference's
+    accumulate-values-and-requery loop equals bipartite BFS on the
+    record↔value graph — oracle is the recursive CTE."""
+    return _run_seeded(spark, sf_dir)
+
+
+def _sql_seeded_walk(extra_where: str = "", graph_filter: str = "v") -> str:
+    return f"""
+WITH RECURSIVE {SQL_SPARSE_ERROR_VALUES},
+g AS (SELECT conv_id, value FROM {graph_filter}),
+walk(conv_id, hop) AS (
+  SELECT conv_id, 0 FROM g WHERE value IN ('1','2') {extra_where}
+  UNION
+  SELECT g2.conv_id, walk.hop + 1
+  FROM walk JOIN g ON g.conv_id = walk.conv_id
+  JOIN g g2 ON g2.value = g.value
+  WHERE walk.hop < 10
+)
+SELECT conv_id, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+SQL_SEEDED_BFS = _sql_seeded_walk()
+
+
+def q_seeded_scope_exclude(spark, sf_dir):
+    """P11 scope.exclude.attributes (value-level, Query.java:456-463):
+    records matching ANY excluded value are never fetched — and so never
+    relay values to later hops. Oracle: BFS with those records deleted
+    from the graph."""
+    return _run_seeded(
+        spark, sf_dir, scope={"exclude": {"attributes": {"k_error": ["3", "5"]}}}
+    )
+
+
+SQL_SEEDED_SCOPE_EXCLUDE = _sql_seeded_walk(
+    graph_filter="""(SELECT conv_id, value FROM v WHERE conv_id NOT IN
+      (SELECT conv_id FROM v WHERE value IN ('3','5'))) x"""
+)
+
+
+_INCLUDE_VALUES = [str(i) for i in range(100) if i % 3 != 0]
+
+
+def q_seeded_scope_include(spark, sf_dir):
+    """P12 scope.include.attributes (Query.java:471-479): only records
+    matching EVERY included attribute filter can be fetched. Oracle: BFS
+    restricted to the included-record subgraph."""
+    return _run_seeded(
+        spark, sf_dir,
+        scope={"include": {"attributes": {"k_error": list(_INCLUDE_VALUES)}}},
+    )
+
+
+SQL_SEEDED_SCOPE_INCLUDE = _sql_seeded_walk(
+    graph_filter="""(SELECT conv_id, value FROM v WHERE conv_id IN
+      (SELECT conv_id FROM v WHERE CAST(value AS INT) % 3 <> 0)) x"""
+)
+
+
+# model for term trial-parsing: a number attribute and a string
+# attribute over different physical fields (Term.java:56-74 routing)
+TERM_MODEL = {
+    "attributes": {"a_num": {"type": "number"}, "a_str": {}},
+    "resolvers": {
+        "r_num": {"attributes": ["a_num"]},
+        "r_str": {"attributes": ["a_str"]},
+    },
+    "matchers": {"exact": {"clause": {"term": {"{{ field }}": "{{ value }}"}}}},
+    "indices": {
+        "default": {
+            "fields": {
+                "click": {"attribute": "a_num", "matcher": "exact"},
+                "error": {"attribute": "a_str", "matcher": "exact"},
+            }
+        }
+    },
+}
+
+
+def q_term_coercion(spark, sf_dir):
+    """P14 term → attribute coercion (Query.java:554-702): each term is
+    trial-parsed per attribute type — digit terms route to BOTH the
+    number and the string attribute, 'true' routes only to the string
+    attribute (it is not a number), and the hop-0 clause is the untiered
+    resolver DNF over the term-matched attributes."""
+    from zentity_spark.resolve import Input, SeededConfig, resolve
+
+    turns = transcripts_from_events(spark, sf_dir)
+    hits = resolve(
+        spark,
+        turns,
+        Model(TERM_MODEL),
+        Input(terms=["5", "true", "42"]),
+        SeededConfig(max_hops=0, max_docs_per_query=1_000_000),
+    )
+    return spark.createDataFrame(
+        [(h.record_id, h.hop) for h in hits], "conv_id string, hop int"
+    ).orderBy("conv_id")
+
+
+SQL_TERM_COERCION = f"""
+WITH {SQL_TRANSCRIPTS},
+v AS (
+  SELECT DISTINCT conv_id, role, regexp_extract(text, '=(\\d+)$', 1) AS value
+  FROM t WHERE role IN ('click','error') AND regexp_extract(text, '=(\\d+)$', 1) <> ''
+)
+SELECT DISTINCT conv_id, 0 AS hop FROM v
+WHERE (role = 'click' AND value IN ('5','42'))
+   OR (role = 'error' AND value IN ('5','42'))
+ORDER BY conv_id
+"""
+
+
+# weight-tier model: attributes named EXACTLY like the physical fields,
+# so the reference's should(any-attribute-field-not-exists, ...) gate
+# (Query.java:521-528) actually bites — r_cv (weight 2) gates r_err
+# (weight 1) matches whenever both records carry click AND view fields
+WEIGHT_MODEL = {
+    "attributes": {"click": {}, "error": {}, "view": {}},
+    "resolvers": {
+        "r_err": {"attributes": ["error"], "weight": 1},
+        "r_cv": {"attributes": ["click", "view"], "weight": 2},
+    },
+    "matchers": {"exact": {"clause": {"term": {"{{ field }}": "{{ value }}"}}}},
+    "indices": {
+        "default": {
+            "fields": {
+                "click": {"attribute": "click", "matcher": "exact"},
+                "error": {"attribute": "error", "matcher": "exact"},
+                "view": {"attribute": "view", "matcher": "exact"},
+            }
+        }
+    },
+}
+
+
+def q_weight_gating(spark, sf_dir):
+    """J5 weight tiers (Query.java:488-551 via pairs.gate_edges): an
+    edge exists iff a lowest-applicable-weight resolver matched AND every
+    higher-weight applicable resolver either matched or has an attribute
+    whose same-named physical field is absent on either record."""
+    from zentity_spark.pairs import gate_edges, verify_pairs
+    from zentity_spark.transcripts import parse_turns
+
+    turns = transcripts_from_events_sparse(spark, sf_dir)
+    compiled = compile_model(Model(WEIGHT_MODEL))
+    parsed = parse_turns(turns)
+    values = build_values(
+        spark, turns, compiled,
+        physical_paths={("default", f): f for f in ("click", "error", "view")},
+    )
+    records = build_records(values, compiled, parsed)
+    blocks = blocking_keys(records, compiled)
+    cand, _ = candidate_pairs(blocks, max_block_size=None)
+    pairs = verify_pairs(cand, compiled, records)
+    edges = gate_edges(pairs, compiled)
+    return edges.select(
+        F.col("id_l").alias("conv_l"),
+        F.col("id_r").alias("conv_r"),
+        F.array_join("matched_resolvers", ",").alias("matched"),
+    ).orderBy("conv_l", "conv_r")
+
+
+SQL_WEIGHT_GATING = f"""
+WITH {SQL_TRANSCRIPTS_SPARSE},
+v AS (
+  SELECT DISTINCT conv_id, role AS attribute, regexp_extract(text, '=(\\d+)$', 1) AS value
+  FROM t WHERE role IN ('click','error','view') AND regexp_extract(text, '=(\\d+)$', 1) <> ''
+),
+f AS (
+  SELECT conv_id,
+         bool_or(attribute = 'click') AS has_c,
+         bool_or(attribute = 'error') AS has_e,
+         bool_or(attribute = 'view') AS has_v
+  FROM v GROUP BY conv_id
+),
+p AS (
+  SELECT a.conv_id AS conv_l, b.conv_id AS conv_r,
+         bool_or(a.attribute = 'click') AS m_c,
+         bool_or(a.attribute = 'error') AS m_e,
+         bool_or(a.attribute = 'view') AS m_v
+  FROM v a JOIN v b ON a.attribute = b.attribute AND a.value = b.value
+  WHERE a.conv_id < b.conv_id
+  GROUP BY a.conv_id, b.conv_id
+),
+g AS (
+  SELECT p.conv_l, p.conv_r,
+         (fl.has_e AND fr.has_e) AS app_err,
+         (fl.has_c AND fr.has_c AND fl.has_v AND fr.has_v) AS app_cv,
+         p.m_e AS matched_err, (p.m_c AND p.m_v) AS matched_cv
+  FROM p
+  JOIN f fl ON fl.conv_id = p.conv_l
+  JOIN f fr ON fr.conv_id = p.conv_r
+)
+SELECT conv_l, conv_r,
+       concat_ws(',', CASE WHEN matched_cv THEN 'r_cv' END,
+                      CASE WHEN matched_err THEN 'r_err' END) AS matched
+FROM g
+WHERE CASE WHEN app_err THEN matched_err AND (NOT app_cv OR matched_cv)
+           WHEN app_cv THEN matched_cv
+           ELSE false END
+ORDER BY conv_l, conv_r
+"""
+
+
+# per-field OR model: one attribute fed by TWO physical fields — a
+# record's value set is the union (P8, Query.java:246-266), and a pair
+# matches when ANY value of one side equals ANY value of the other (P7)
+OR_MODEL = {
+    "attributes": {"k": {}},
+    "resolvers": {"r_k": {"attributes": ["k"]}},
+    "matchers": {"exact": {"clause": {"term": {"{{ field }}": "{{ value }}"}}}},
+    "indices": {
+        "default": {
+            "fields": {
+                "click": {"attribute": "k", "matcher": "exact"},
+                "view": {"attribute": "k", "matcher": "exact"},
+            }
+        }
+    },
+}
+
+
+def q_per_field_or(spark, sf_dir):
+    """P7/P8: per-value OR (multi-valued attributes) and per-field OR
+    (two index fields mapped to one attribute) — pairs match when any
+    click-or-view value overlaps."""
+    from zentity_spark.pairs import verify_pairs
+
+    turns = transcripts_from_events_sparse(spark, sf_dir)
+    compiled = compile_model(Model(OR_MODEL))
+    values = build_values(
+        spark, turns, compiled,
+        physical_paths={("default", f): f for f in ("click", "view")},
+    )
+    records = build_records(values, compiled)
+    blocks = blocking_keys(records, compiled)
+    cand, _ = candidate_pairs(blocks, max_block_size=None)
+    pairs = verify_pairs(cand, compiled, records)
+    return pairs.select(
+        F.col("id_l").alias("conv_l"), F.col("id_r").alias("conv_r")
+    ).orderBy("conv_l", "conv_r")
+
+
+SQL_PER_FIELD_OR = f"""
+WITH {SQL_TRANSCRIPTS_SPARSE},
+v AS (
+  SELECT DISTINCT conv_id, regexp_extract(text, '=(\\d+)$', 1) AS value
+  FROM t WHERE role IN ('click','view') AND regexp_extract(text, '=(\\d+)$', 1) <> ''
+)
+SELECT DISTINCT a.conv_id AS conv_l, b.conv_id AS conv_r
+FROM v a JOIN v b ON a.value = b.value
+WHERE a.conv_id < b.conv_id
+ORDER BY conv_l, conv_r
+"""
+
+
+# ----------------------------------------------------------------------
 # Training-data pipeline operators (documents / embeddings)
 
 # DuckDB equivalent of extras.canonical_text
@@ -930,6 +1267,12 @@ def all_queries():
         "soundex_codes": q_soundex_codes,
         "pairs_date_window": q_pairs_date_window,
         "scored_pairs": q_scored_pairs,
+        "seeded_bfs": q_seeded_bfs,
+        "seeded_scope_exclude": q_seeded_scope_exclude,
+        "seeded_scope_include": q_seeded_scope_include,
+        "term_coercion": q_term_coercion,
+        "weight_gating": q_weight_gating,
+        "per_field_or": q_per_field_or,
         "connected_components": q_connected_components,
         "bfs_hops": q_bfs_hops,
         "cluster_sizes": q_cluster_sizes,
@@ -963,6 +1306,12 @@ def all_oracles():
         "soundex_codes": SQL_SOUNDEX,
         "pairs_date_window": SQL_PAIRS_DATE_WINDOW,
         "scored_pairs": SQL_SCORED_PAIRS,
+        "seeded_bfs": SQL_SEEDED_BFS,
+        "seeded_scope_exclude": SQL_SEEDED_SCOPE_EXCLUDE,
+        "seeded_scope_include": SQL_SEEDED_SCOPE_INCLUDE,
+        "term_coercion": SQL_TERM_COERCION,
+        "weight_gating": SQL_WEIGHT_GATING,
+        "per_field_or": SQL_PER_FIELD_OR,
         "connected_components": SQL_CONNECTED_COMPONENTS,
         "bfs_hops": SQL_BFS_HOPS,
         "cluster_sizes": SQL_CLUSTER_SIZES,
