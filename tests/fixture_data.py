@@ -1,13 +1,15 @@
-"""Encode the reference's integration-test documents as transcripts.
+"""Load the reference's integration-test documents as transcripts —
+through the ENGINE's generic JSON ingestion path.
 
 FIXTURES.md §2: each reference test doc (44 total: TestData.txt,
-TestDataArrays.txt, TestDataObjectArrays.txt) becomes one conversation;
-conv_id = `<index>/<doc_id>`; each indexed leaf field becomes one turn
-with text `PATH=VALUE` (canonical serialization), turn_idx follows
-sorted field order; role='user', tool=None, ts = the doc's type_date
-where present else epoch. This exercises the full
-transcripts→records→blocking→scoring→clustering path against the golden
-clusters of ResolutionActionIT.
+TestDataArrays.txt, TestDataObjectArrays.txt) becomes one conversation.
+The raw `_source` JSON is flattened by
+zentity_spark.documents.documents_to_turns (the batch analog of
+Job.java:199-286 extractValues — dotted paths, arrays, object arrays,
+dotted key names), NOT by a test-side pre-flattener, so the golden
+cluster tests exercise the real ingestion surface end to end.
+conv_id = `<index>/<doc_id>`; ts = the doc's type_date where present
+else epoch (used only by conversation assembly, not by matching).
 """
 
 from __future__ import annotations
@@ -18,30 +20,6 @@ import json
 REFERENCE_RESOURCES = "/root/reference/src/test/resources"
 
 _TS_EPOCH = datetime.datetime(1970, 1, 1)
-
-
-def _serialize(v):
-    if v is None:
-        return "null"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, int):
-        return str(v)
-    if isinstance(v, float):
-        return repr(v)
-    return str(v)
-
-
-def _leaves(obj, path=""):
-    """Flatten nested dicts/arrays to (dotted path, serialized scalar)."""
-    if isinstance(obj, dict):
-        for k, v in sorted(obj.items()):
-            yield from _leaves(v, f"{path}.{k}" if path else k)
-    elif isinstance(obj, list):
-        for v in obj:
-            yield from _leaves(v, path)
-    else:
-        yield (path, _serialize(obj))
 
 
 def load_reference_docs(filenames=("TestData.txt",)) -> list[dict]:
@@ -58,25 +36,40 @@ def load_reference_docs(filenames=("TestData.txt",)) -> list[dict]:
     return docs
 
 
-def docs_to_turn_rows(docs) -> list[tuple]:
-    """→ rows (conv_id, turn_idx, role, text, tool, ts)."""
-    rows = []
+def fixture_docs_df(spark, filenames=("TestData.txt",)):
+    """Raw-document DataFrame (record_id, source, _source) — the input
+    shape of the generic JSON ingestion path."""
+    docs = load_reference_docs(filenames)
+    rows = [(d["id"], d["index"], json.dumps(d["doc"])) for d in docs]
+    return spark.createDataFrame(
+        rows, "record_id string, source string, _source string"
+    )
+
+
+def fixture_transcripts(spark, filenames=("TestData.txt",)):
+    from pyspark.sql import functions as F
+
+    from zentity_spark.documents import documents_to_turns
+
+    docs = load_reference_docs(filenames)
+    turns = documents_to_turns(fixture_docs_df(spark, filenames))
+
+    # per-doc ts: type_date where present (old fixture behavior; matching
+    # never reads it — date semantics ride in the turn text)
+    ts_rows = []
     for d in docs:
-        conv_id = f"{d['index']}/{d['id']}"
-        leaves = sorted(_leaves(d["doc"]))
         ts = _TS_EPOCH
         raw_date = d["doc"].get("type_date")
         if raw_date:
             ts = datetime.datetime.strptime(raw_date, "%Y-%m-%dT%H:%M:%S.%f")
-        for i, (path, val) in enumerate(leaves):
-            rows.append((conv_id, i, "user", f"{path}={val}", None, ts))
-    return rows
-
-
-def fixture_transcripts(spark, filenames=("TestData.txt",)):
-    rows = docs_to_turn_rows(load_reference_docs(filenames))
-    return spark.createDataFrame(
-        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+        ts_rows.append((f"{d['index']}/{d['id']}", ts))
+    ts_df = spark.createDataFrame(ts_rows, "conv_id string, _doc_ts timestamp")
+    return (
+        turns.drop("ts")
+        .join(ts_df, "conv_id", "left")
+        .withColumn("ts", F.coalesce("_doc_ts", F.lit("1970-01-01").cast("timestamp")))
+        .drop("_doc_ts")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     )
 
 

@@ -853,6 +853,89 @@ ORDER BY conv_l, conv_r
 """
 
 
+# generic nested-JSON extraction (P6/F6, Job.java:199-286): documents
+# with nested objects, object ARRAYS, and a dotted key name, built
+# deterministically from events; the model extracts via dotted paths
+# incl. a multi-field suffix fallback (meta.tag.keyword → meta.tag)
+JSON_MODEL = {
+    "attributes": {"uid": {}, "k": {}, "tag": {}},
+    "resolvers": {"r": {"attributes": ["uid"]}},
+    "matchers": {"exact": {"clause": {"term": {"{{ field }}": "{{ value }}"}}}},
+    "indices": {
+        "docs": {
+            "fields": {
+                "user.id": {"attribute": "uid", "matcher": "exact"},
+                "events.k": {"attribute": "k", "matcher": "exact"},
+                "meta.tag.keyword": {"attribute": "tag", "matcher": "exact"},
+            }
+        }
+    },
+}
+
+
+def events_as_json_docs(spark, sf_dir):
+    """One nested JSON document per user: {"user": {"id": N},
+    "events": [{"kind": ..., "k": ...}, ...], "meta.tag": "uM"} — object
+    array in (ts, event_id) order, dotted key name included."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.regexp_extract("props", '"k": (\\d+)', 1)
+    per = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "ts", "event_id",
+                    F.col("event_type").alias("kind"), k.alias("k"),
+                )
+            )
+        ).alias("evs")
+    )
+    doc = F.to_json(
+        F.struct(
+            F.struct(F.col("user_id").alias("id")).alias("user"),
+            F.transform(
+                "evs",
+                lambda s: F.struct(s.getField("kind").alias("kind"), s.getField("k").alias("k")),
+            ).alias("events"),
+            F.concat(F.lit("u"), (F.col("user_id") % 7).cast("string")).alias("meta.tag"),
+        )
+    )
+    return per.select(
+        F.col("user_id").cast("string").alias("record_id"),
+        F.lit("docs").alias("source"),
+        doc.alias("_source"),
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """P6/F6: generic nested-JSON value extraction — object keys, object
+    arrays, dotted key names, multi-field suffix fallback
+    (documents.values_from_docs reproducing Job.java:199-286 +
+    Job.java:825-853)."""
+    from zentity_spark.documents import values_from_docs
+
+    docs = events_as_json_docs(spark, sf_dir)
+    compiled = compile_model(Model(JSON_MODEL))
+    values = values_from_docs(spark, docs, compiled)
+    return (
+        values.select(F.col("record_id").alias("conv_id"), "attribute", "raw")
+        .withColumnRenamed("raw", "value")
+        .distinct()
+        .orderBy("conv_id", "attribute", "value")
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT DISTINCT CAST(user_id AS VARCHAR) AS conv_id, 'k' AS attribute,
+       regexp_extract(props, '"k": (\\d+)', 1) AS value
+FROM events WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''
+UNION
+SELECT DISTINCT CAST(user_id AS VARCHAR), 'uid', CAST(user_id AS VARCHAR) FROM events
+UNION
+SELECT DISTINCT CAST(user_id AS VARCHAR), 'tag', 'u' || CAST(user_id % 7 AS VARCHAR) FROM events
+ORDER BY conv_id, attribute, value
+"""
+
+
 # ----------------------------------------------------------------------
 # Training-data pipeline operators (documents / embeddings)
 
@@ -1273,6 +1356,7 @@ def all_queries():
         "term_coercion": q_term_coercion,
         "weight_gating": q_weight_gating,
         "per_field_or": q_per_field_or,
+        "json_extract": q_json_extract,
         "connected_components": q_connected_components,
         "bfs_hops": q_bfs_hops,
         "cluster_sizes": q_cluster_sizes,
@@ -1312,6 +1396,7 @@ def all_oracles():
         "term_coercion": SQL_TERM_COERCION,
         "weight_gating": SQL_WEIGHT_GATING,
         "per_field_or": SQL_PER_FIELD_OR,
+        "json_extract": SQL_JSON_EXTRACT,
         "connected_components": SQL_CONNECTED_COMPONENTS,
         "bfs_hops": SQL_BFS_HOPS,
         "cluster_sizes": SQL_CLUSTER_SIZES,

@@ -201,7 +201,16 @@ def build_values(spark: SparkSession, turns: DataFrame, compiled: CompiledModel,
     build (Query.java:206-208), which is why `type_string_null` never
     links any fixture docs.
     """
-    parsed = parse_turns(turns)
+    return values_from_parsed(spark, parse_turns(turns), compiled, physical_paths)
+
+
+def values_from_parsed(spark: SparkSession, parsed: DataFrame,
+                       compiled: CompiledModel,
+                       physical_paths: dict | None = None) -> DataFrame:
+    """Long values table from an already-parsed leaves table
+    (record_id, source, path, raw) — shared by the transcript encoding
+    (parse_turns) and the generic JSON document flattener
+    (documents.flatten_json_docs)."""
     if physical_paths is None:
         physical_paths = resolve_physical_paths(parsed, compiled)
     rows = compiled.mapping_rows(physical_paths)
