@@ -1,0 +1,116 @@
+"""SimpleDateFormat parity (Term.java:61-74, Query.java:77-130,
+Input.java:380-420) — parse/format/chain/validation matrix over the
+format shapes the reference's models and JobTest date cases use."""
+
+from __future__ import annotations
+
+import pytest
+
+from zentity_spark.compiler import compile_model
+from zentity_spark.errors import ValidationException
+from zentity_spark.java_dates import (
+    format_java_date,
+    parse_java_date,
+    resolve_format_chain,
+    validate_date_formats,
+)
+from zentity_spark.model import Model
+
+EPOCH_Y2K = 946684800.0  # 2000-01-01T00:00:00Z
+
+
+@pytest.mark.parametrize(
+    "s,fmt,expect",
+    [
+        ("2000-01-01", "yyyy-MM-dd", EPOCH_Y2K),
+        ("2000-01-01T00:00:00", "yyyy-MM-dd'T'HH:mm:ss", EPOCH_Y2K),
+        ("2000-01-01T00:00:00.000", "yyyy-MM-dd'T'HH:mm:ss.SSS", EPOCH_Y2K),
+        # literal-digit fraction (fixture format): '.0000' matches literally
+        ("1999-12-31T23:59:57.0000", "yyyy-MM-dd'T'HH:mm:ss.0000", EPOCH_Y2K - 3),
+        # SimpleDateFormat.parse accepts a matching PREFIX
+        ("2000-01-01 and trailing text", "yyyy-MM-dd", EPOCH_Y2K),
+        ("2000-01-01T00:00:00.123", "yyyy-MM-dd'T'HH:mm:ss.SSS", EPOCH_Y2K + 0.123),
+        ("946684800000", "epoch_millis", EPOCH_Y2K),
+        ("946684800", "epoch_second", EPOCH_Y2K),
+        # 12-hour clock with AM/PM
+        ("2000-01-01 12:00 AM", "yyyy-MM-dd hh:mm a", EPOCH_Y2K),
+        ("2000-01-01 01:30 PM", "yyyy-MM-dd hh:mm a", EPOCH_Y2K + 13 * 3600 + 1800),
+        # non-matches
+        ("a_00", "yyyy-MM-dd", None),
+        ("true", "yyyy-MM-dd", None),
+        ("2000-13-01", "yyyy-MM-dd", None),       # non-lenient month
+        ("2000-01-01T25:00:00", "yyyy-MM-dd'T'HH:mm:ss", None),
+        ("1999-12-31T23:59:59.999", "yyyy-MM-dd'T'HH:mm:ss.0000", None),
+    ],
+)
+def test_parse(s, fmt, expect):
+    got = parse_java_date(s, fmt)
+    if expect is None:
+        assert got is None
+    else:
+        assert got == pytest.approx(expect, abs=1e-6)
+
+
+@pytest.mark.parametrize(
+    "epoch,fmt,expect",
+    [
+        (EPOCH_Y2K, "yyyy-MM-dd", "2000-01-01"),
+        (EPOCH_Y2K, "yyyy-MM-dd'T'HH:mm:ss.0000", "2000-01-01T00:00:00.0000"),
+        # real milliseconds DROPPED by a literal-digit pattern (the
+        # script_fields truncation that makes extracted dates converge)
+        (EPOCH_Y2K + 0.999, "yyyy-MM-dd'T'HH:mm:ss.0000", "2000-01-01T00:00:00.0000"),
+        (EPOCH_Y2K + 0.123, "yyyy-MM-dd'T'HH:mm:ss.SSS", "2000-01-01T00:00:00.123"),
+        (EPOCH_Y2K, "epoch_millis", "946684800000"),
+        (EPOCH_Y2K + 13 * 3600, "yyyy-MM-dd hh:mm a", "2000-01-01 01:00 PM"),
+    ],
+)
+def test_format(epoch, fmt, expect):
+    assert format_java_date(epoch, fmt) == expect
+
+
+def _date_model(attr_params=None, matcher_params=None):
+    return Model(
+        {
+            "attributes": {
+                "ts": {"type": "date", **({"params": attr_params} if attr_params else {})}
+            },
+            "resolvers": {"r": {"attributes": ["ts"]}},
+            "matchers": {
+                "rng": {
+                    "clause": {"range": {"{{ field }}": {"gte": "{{ value }}||-{{ params.window }}",
+                                                         "lte": "{{ value }}||+{{ params.window }}"}}},
+                    "params": {"window": "1d", **(matcher_params or {})},
+                }
+            },
+            "indices": {"idx": {"fields": {"f_ts": {"attribute": "ts", "matcher": "rng"}}}},
+        }
+    )
+
+
+def test_format_chain_precedence():
+    """Input.java:380-420 / Query.java:619-642: input > model-attribute >
+    per-field matcher params."""
+    m = _date_model(attr_params={"format": "yyyy-MM-dd"},
+                    matcher_params={"format": "epoch_millis"})
+    compiled = compile_model(m)
+    assert resolve_format_chain("ts", compiled, {"ts": {"format": "yyyy"}}) == "yyyy"
+    assert resolve_format_chain("ts", compiled, {}) == "yyyy-MM-dd"
+    m2 = _date_model(matcher_params={"format": "epoch_millis"})
+    assert resolve_format_chain("ts", compile_model(m2), {}) == "epoch_millis"
+
+
+def test_validation_walk():
+    """A date attribute with no format anywhere raises the reference's
+    exact message."""
+    compiled = compile_model(_date_model())
+    with pytest.raises(ValidationException, match="is a 'date' which required a 'format'"):
+        validate_date_formats(compiled, {})
+    # 'null' and '' don't count as a format (Input.java checks)
+    compiled2 = compile_model(_date_model(attr_params={"format": "null"}))
+    with pytest.raises(ValidationException):
+        validate_date_formats(compiled2, {})
+    validate_date_formats(compiled, {"ts": {"format": "yyyy-MM-dd"}})  # ok
+
+
+def test_unsupported_letter_falls_back():
+    assert parse_java_date("2000-01-01", "yyyy-MM-dd zzz") is None

@@ -129,3 +129,80 @@ def test_engine_error_malformed_matcher():
     model = Model(load_reference_model("TestEntityModelElasticsearchError.json"))
     with pytest.raises(ZentityError):
         compile_model(model)
+
+
+# ------------------------------------------------- bulk NDJSON format
+
+def test_bulk_ndjson_roundtrip(tmp_path):
+    """ModelsAction.java:759-883: action-line NDJSON — create, update,
+    delete with params merged over request defaults."""
+    store = ModelStore(str(tmp_path / "models"))
+    store.setup()
+    body = "\n".join(
+        [
+            json.dumps({"create": {"entity_type": "person"}}),
+            json.dumps(VALID),
+            json.dumps({"update": {"entity_type": "person"}}),
+            json.dumps(VALID),
+            json.dumps({"delete": {"entity_type": "person"}}),
+            "{}",
+        ]
+    )
+    items = store.bulk_ndjson(body)
+    assert [list(i)[0] for i in items] == ["create", "update", "delete"]
+    assert all("error" not in i[list(i)[0]] for i in items)
+    assert not store.exists("person")
+
+
+def test_bulk_ndjson_errors_continue(tmp_path):
+    """Per-item error envelopes; the batch continues (delegateFailure)."""
+    store = ModelStore(str(tmp_path / "models"))
+    store.setup()
+    body = "\n".join(
+        [
+            json.dumps({"create": {"entity_type": "a"}}),
+            json.dumps(VALID),
+            # duplicate create → error, batch continues
+            json.dumps({"create": {"entity_type": "a"}}),
+            json.dumps(VALID),
+            # unknown action key
+            json.dumps({"upsert": {"entity_type": "b"}}),
+            json.dumps(VALID),
+            # two action keys in one line
+            json.dumps({"create": {"entity_type": "c"}, "delete": {"entity_type": "c"}}),
+            json.dumps(VALID),
+            # still processes the valid tail
+            json.dumps({"create": {"entity_type": "d"}}),
+            json.dumps(VALID),
+        ]
+    )
+    items = store.bulk_ndjson(body)
+    assert len(items) == 5
+    assert "error" not in items[0]["create"]
+    err1 = items[1]["create"]["error"]
+    assert err1["by"] == "zentity" and "already exists" in err1["reason"]
+    assert "not a recognized action" in items[2]["action"]["error"]["reason"]
+    # with two action keys, the FIRST recognized action names the error
+    # envelope (the reference's `action` variable holds it at throw time)
+    k3 = list(items[3])[0]
+    assert k3 == "create" and "only one action" in items[3][k3]["error"]["reason"]
+    assert "error" not in items[4]["create"]
+    assert store.exists("a") and store.exists("d")
+
+
+def test_bulk_ndjson_odd_lines(tmp_path):
+    store = ModelStore(str(tmp_path / "models"))
+    store.setup()
+    with pytest.raises(ValidationException, match="pairs"):
+        store.bulk_ndjson(json.dumps({"create": {"entity_type": "x"}}))
+
+
+def test_bulk_ndjson_default_params(tmp_path):
+    """entity_type may come from request-level params (the URL-path
+    entity_type in the reference), overridden per line."""
+    store = ModelStore(str(tmp_path / "models"))
+    store.setup()
+    body = "\n".join([json.dumps({"create": {}}), json.dumps(VALID)])
+    items = store.bulk_ndjson(body, default_params={"entity_type": "from_url"})
+    assert "error" not in items[0]["create"]
+    assert store.exists("from_url")

@@ -269,3 +269,43 @@ def test_job_score(spark, turns):
                 f"{h.doc_id}: {h.score} != {expected[h.doc_id]}"
             )
         assert h.explanation, f"{h.doc_id} missing explanation"
+
+
+def test_query_audit_log(spark, turns):
+    """S7 per-hop query log (Job.java:166-197): the testJobAttributes
+    traversal leaves one audit row per (hop, query, index) with resolver
+    filters and hit counts, committable as metrics rows."""
+    from zentity_spark.storage import query_log_metrics
+
+    capture = {}
+    hits = resolve(
+        spark, turns, model_a(),
+        Input(attributes={"attribute_a": ["a_00"]}, scope=SCOPE_ABC),
+        _capture=capture,
+    )
+    log = capture["query_log"]
+    # every hop queries indices a, b, c with query numbers 0, 1, 2
+    by_hop = {}
+    for q in log:
+        by_hop.setdefault(q["hop"], []).append(q)
+    for hop, entries in by_hop.items():
+        assert [q["query"] for q in sorted(entries, key=lambda x: x["query"])] == [0, 1, 2]
+        assert {q["index"] for q in entries} == {
+            "zentity_test_index_a", "zentity_test_index_b", "zentity_test_index_c"
+        }
+        for q in entries:
+            assert set(q["resolvers"]) <= {"resolver_a", "resolver_b"}
+    # hit counts across the log account for every fetched doc, and the
+    # final hop is the fixpoint probe (no new hits anywhere)
+    assert sum(q["hits"] for q in log) == len(hits) == 6
+    last_hop = max(by_hop)
+    assert all(q["hits"] == 0 for q in by_hop[last_hop])
+    # golden traversal: c1 found at hop 4 in index c
+    hop4 = [q for q in log if q["hop"] == 4 and q["hits"] > 0]
+    assert len(hop4) == 1 and hop4[0]["index"] == "zentity_test_index_c"
+
+    # metrics-row materialization
+    mdf = query_log_metrics(spark, log, "run1")
+    assert mdf.count() == len(log)
+    assert mdf.columns == ["run_id", "hop", "query", "index", "resolvers",
+                           "term_resolvers", "seed_ids", "hits"]

@@ -65,7 +65,13 @@ def main(argv=None):
     r.add_argument("--scope", default="null")
     r.add_argument("--max-hops", type=int, default=100)
     r.add_argument("--max-docs-per-query", type=int, default=1000)
-    r.add_argument("--score", action="store_true")
+    # reference URL-param analogs (ResolutionAction.java params)
+    r.add_argument("--score", action="store_true", help="_score=true")
+    r.add_argument("--explanation", action="store_true", help="_explanation=true")
+    r.add_argument("--no-attributes", action="store_true", help="_attributes=false")
+    r.add_argument("--queries", action="store_true", help="queries=true")
+    r.add_argument("--no-error-trace", action="store_true", help="error_trace=false")
+    r.add_argument("--pretty", action="store_true")
 
     args = p.parse_args(argv)
     from zentity_spark.model import load_model
@@ -100,42 +106,36 @@ def main(argv=None):
         }
         print(json.dumps(out, indent=2))
     else:
-        from zentity_spark.resolve import Input, SeededConfig, resolve
+        from zentity_spark.envelope import resolve_response, serialize_exception
+        from zentity_spark.resolve import Input, SeededConfig
 
-        hits = resolve(
-            spark,
-            turns,
-            model,
-            Input(
+        try:
+            input_ = Input(
                 attributes=json.loads(args.attributes),
                 terms=json.loads(args.terms),
                 ids=json.loads(args.ids),
                 scope=json.loads(args.scope),
-            ),
-            SeededConfig(
-                max_hops=args.max_hops,
-                max_docs_per_query=args.max_docs_per_query,
-                include_score=args.score,
-                include_explanation=args.score,
-            ),
-        )
+            )
+        except Exception as e:  # noqa: BLE001 — 400-style error envelope
+            print("{\"error\":{" + serialize_exception(e, not args.no_error_trace) + "}}")
+            spark.stop()
+            sys.exit(1)
         print(
-            json.dumps(
-                {
-                    "hits": {
-                        "total": len(hits),
-                        "hits": [
-                            {
-                                "_id": h.doc_id,
-                                "_index": h.index,
-                                "_hop": h.hop,
-                                "_score": h.score,
-                            }
-                            for h in hits
-                        ],
-                    }
-                },
-                indent=2,
+            resolve_response(
+                spark,
+                turns,
+                model,
+                input_,
+                SeededConfig(
+                    max_hops=args.max_hops,
+                    max_docs_per_query=args.max_docs_per_query,
+                ),
+                include_attributes=not args.no_attributes,
+                include_explanation=args.explanation or args.score,
+                include_score=args.score,
+                include_queries=args.queries,
+                include_error_trace=not args.no_error_trace,
+                pretty=args.pretty,
             )
         )
     spark.stop()

@@ -128,6 +128,19 @@ class CompiledModel:
             path = physical_paths.get((fs.index, fs.field))
             if path is None:
                 continue
+            fmt = fs.spec.params.get("format")
+            if fmt not in (None, "", "null", "epoch_millis", "epoch_second"):
+                # driver-side whitelist: only formats our SimpleDateFormat
+                # subset tokenizes are forwarded to the Spark-side
+                # try_to_timestamp (an unparseable pattern would throw at
+                # runtime inside the scan; unsupported ones fall back to
+                # the trial chain instead)
+                from zentity_spark.java_dates import _tokenize
+
+                try:
+                    _tokenize(str(fmt))
+                except ValueError:
+                    fmt = None
             rows.append(
                 {
                     "source": fs.index,
@@ -139,6 +152,10 @@ class CompiledModel:
                     "threshold": None if fs.spec.threshold is None else str(fs.spec.threshold),
                     "quality": fs.quality,
                     "attr_type": self.attr_types[fs.attribute],
+                    # declared Java date format (input > model-attr >
+                    # matcher, already merged in spec.params) — the
+                    # Spark-side ts parse tries it before the trial chain
+                    "date_fmt": str(fmt) if fmt not in (None, "", "null") else None,
                 }
             )
         return rows

@@ -180,5 +180,5 @@ def values_from_docs(spark, docs: DataFrame, compiled,
     from zentity_spark.transcripts import values_from_parsed
 
     flat = flatten_json_docs(docs, id_col, source_col, json_col)
-    parsed = flat.select("record_id", "source", "path", "raw")
+    parsed = flat.select("record_id", "source", "path", "raw", "pos")
     return values_from_parsed(spark, parsed, compiled, physical_paths)

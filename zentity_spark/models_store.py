@@ -88,6 +88,73 @@ class ModelStore:
             json.dump(spec, fh, sort_keys=True, indent=2)
         os.replace(tmp, path)
 
+    def bulk_ndjson(self, body: str, default_params: dict | None = None) -> list[dict]:
+        """The reference's models-bulk NDJSON format
+        (ModelsAction.java:759-883 runBulk):
+
+            { "create": { "entity_type": "person" }}
+            { ...entity model... }
+            { "update": { "entity_type": "person" }}
+            { ...entity model... }
+            { "delete": { "entity_type": "person" }}
+            {}
+
+        One action key per action line (create/update/delete), params
+        object merged over request-level defaults. Operations run
+        strictly in series; failures produce per-item
+        {action: {"error": {...}}} envelopes and the batch continues
+        (delegateFailure, ModelsAction.java:742-749)."""
+        from zentity_spark.envelope import serialize_exception
+
+        lines = [ln for ln in body.splitlines() if ln.strip()]
+        if len(lines) % 2 != 0:
+            raise ValidationException(
+                "Bulk requests must have repeating pairs of action and payload lines."
+            )
+        items = []
+        for action_line, model_line in zip(lines[0::2], lines[1::2]):
+            action = "action"
+            try:
+                obj = json.loads(action_line)
+                if not isinstance(obj, dict):
+                    raise ValidationException(
+                        "Each bulk operation must have only one action and payload."
+                    )
+                params: dict = {}
+                for name, value in obj.items():
+                    if name in ("create", "update", "delete"):
+                        if action != "action":
+                            raise ValidationException(
+                                "Each bulk operation must have only one action and payload."
+                            )
+                        action = name
+                        params = dict(value or {})
+                    else:
+                        raise ValidationException(
+                            f"'{name}' is not a recognized action for bulk model management."
+                        )
+                if action == "action":
+                    raise ValidationException(
+                        "Each bulk operation must have only one action and payload."
+                    )
+                merged = {**(default_params or {}), **params}
+                entity_type = merged.get("entity_type")
+                if not entity_type:
+                    raise ValidationException("Entity type must be specified.")
+                spec = json.loads(model_line)
+                if action == "create":
+                    self.create(entity_type, spec)
+                elif action == "update":
+                    self.update(entity_type, spec)
+                else:
+                    self.delete(entity_type)
+                items.append({action: {"entity_type": entity_type, "result": "ok"}})
+            except Exception as e:  # per-item error envelope, batch continues
+                items.append(
+                    {action: {"error": json.loads("{" + serialize_exception(e, False) + "}")}}
+                )
+        return items
+
     def bulk(self, actions: list[tuple[str, str, dict | None]]) -> list[dict]:
         """Bulk model ops, strictly serial; per-item error envelopes.
 

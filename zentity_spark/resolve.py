@@ -54,19 +54,18 @@ _PY_TS_FORMATS = [
 ]
 
 
-def _java_fmt_to_py(fmt: str) -> str:
-    out = fmt.replace("'T'", "T").replace("yyyy", "%Y").replace("MM", "%m")
-    out = out.replace("dd", "%d").replace("HH", "%H").replace("mm", "%M").replace("ss", "%S")
-    out = re.sub(r"\.S+$", ".%f", out)
-    out = re.sub(r"\.0+$", ".%f", out)  # literal-zero fractions (fixture format)
-    return out
-
-
 def parse_ts_py(raw: str, fmt: str | None = None) -> float | None:
-    """Python-side timestamp parse, mirroring transcripts.parse_ts so the
-    driver-held input values land on the same time axis as the data."""
-    fmts = ([_java_fmt_to_py(fmt)] if fmt else []) + _PY_TS_FORMATS
-    for f_ in fmts:
+    """Python-side timestamp parse: the declared Java format first
+    (full SimpleDateFormat semantics, java_dates.parse_java_date), then
+    the same trial formats transcripts.parse_ts uses, so driver-held
+    input values land on the same time axis as the data."""
+    if fmt:
+        from zentity_spark.java_dates import parse_java_date
+
+        ts = parse_java_date(str(raw), fmt)
+        if ts is not None:
+            return ts
+    for f_ in _PY_TS_FORMATS:
         try:
             return datetime.datetime.strptime(raw, f_).replace(
                 tzinfo=datetime.timezone.utc
@@ -123,6 +122,7 @@ class Hit:
     index: str
     doc_id: str
     hop: int
+    query: int = 0          # query number within the hop (Query.number())
     score: float | None = None
     explanation: list = field(default_factory=list)
 
@@ -133,7 +133,9 @@ class _EntityState:
     def __init__(self, compiled: CompiledModel):
         self.compiled = compiled
         self.values: dict[str, set[str]] = {}
-        self.tss: dict[str, set[float]] = {}
+        # serialized form → epoch seconds: the ORIGINAL serialization is
+        # what the response envelope reports as input_value
+        self.tss: dict[str, dict[str, float]] = {}
 
     def add(self, attribute: str, serialized: str, fmt: str | None = None) -> bool:
         if serialized in ("", "null") or serialized is None:
@@ -143,7 +145,7 @@ class _EntityState:
         if self.compiled.attr_types.get(attribute) == "date":
             ts = parse_ts_py(serialized, fmt)
             if ts is not None:
-                self.tss.setdefault(attribute, set()).add(ts)
+                self.tss.setdefault(attribute, {})[serialized] = ts
         return new
 
     def attrs_with_values(self) -> set[str]:
@@ -151,27 +153,30 @@ class _EntityState:
 
 
 def _input_key_rows(state: _EntityState, compiled: CompiledModel):
-    """(attribute, kind, key) equality rows + (attribute, ts, window)
-    date rows + (attribute, norm, threshold) fuzzy rows, derived from the
-    accumulated values for every comparator kind the model uses."""
+    """(attribute, kind, key, orig) equality rows + (attribute, ts,
+    window, orig) date rows + (attribute, norm, orig) fuzzy rows, derived
+    from the accumulated values for every comparator kind the model uses.
+    `orig` is the input value's canonical serialization — the envelope's
+    input_value (the reference encodes it base64 into the named filter,
+    Query.java:142-166)."""
     eq_rows, date_rows, fuzz_rows = [], [], []
     kinds_by_attr = {a: compiled.kinds_for_attribute(a) for a in compiled.attr_types}
     for attribute, values in state.values.items():
         kinds = kinds_by_attr.get(attribute, set())
         for v in sorted(values):
             if {"exact", "nested"} & kinds:
-                eq_rows.append((attribute, "exact", v))
-                eq_rows.append((attribute, "nested", v))
+                eq_rows.append((attribute, "exact", v, v))
+                eq_rows.append((attribute, "nested", v, v))
             if "normalized" in kinds:
-                eq_rows.append((attribute, "normalized", strip_punct_py(v)))
+                eq_rows.append((attribute, "normalized", strip_punct_py(v), v))
             if "soundex" in kinds:
-                eq_rows.append((attribute, "soundex", None))  # key built Spark-side
+                eq_rows.append((attribute, "soundex", None, v))  # key built Spark-side
             if kinds & {"fuzzy", "levenshtein", "jaro_winkler"}:
                 fuzz_rows.append((attribute, strip_punct_py(v), v))
         if "date_window" in kinds:
             w = compiled.date_window_for(attribute)
-            for ts in sorted(state.tss.get(attribute, set())):
-                date_rows.append((attribute, float(ts), float(w)))
+            for orig, ts in sorted(state.tss.get(attribute, {}).items()):
+                date_rows.append((attribute, float(ts), float(w), orig))
     return eq_rows, date_rows, fuzz_rows
 
 
@@ -184,7 +189,9 @@ def _match_records(spark, values_df, state: _EntityState, compiled: CompiledMode
     if eq_rows:
         rows = [r for r in eq_rows if r[2] is not None]
         if rows:
-            keys = spark.createDataFrame(rows, "k_attr string, k_kind string, k_key string")
+            keys = spark.createDataFrame(
+                rows, "k_attr string, k_kind string, k_key string, k_orig string"
+            )
             vv = values_df.withColumn("vkey", F.try_element_at("eq_keys", F.lit(1)))
             parts.append(
                 vv.join(
@@ -195,18 +202,20 @@ def _match_records(spark, values_df, state: _EntityState, compiled: CompiledMode
                     "inner",
                 ).select(
                     "record_id", "source", "attribute",
-                    "field", "matcher", "raw", F.col("k_key").alias("input_val"),
+                    "field", "matcher", "raw", F.col("k_orig").alias("input_val"),
                 )
             )
     if date_rows:
-        dk = spark.createDataFrame(date_rows, "k_attr string, its double, window double")
+        dk = spark.createDataFrame(
+            date_rows, "k_attr string, its double, window double, k_orig string"
+        )
         v = values_df.where(F.col("kind") == "date_window")
         parts.append(
             v.join(F.broadcast(dk), v.attribute == dk.k_attr, "inner")
             .where(F.abs(F.col("ts") - F.col("its")) <= F.col("window"))
             .select(
                 "record_id", "source", "attribute", "field", "matcher", "raw",
-                F.col("its").cast("string").alias("input_val"),
+                F.col("k_orig").alias("input_val"),
             )
         )
     if fuzz_rows:
@@ -261,12 +270,28 @@ def resolve(
     model: Model,
     input: Input,
     config: SeededConfig | None = None,
+    _capture: dict | None = None,
 ) -> list[Hit]:
     """Run the seeded hop traversal; returns hits with hop provenance
-    (and score/explanation when requested)."""
+    (and score/explanation when requested).
+
+    _capture (internal seam for envelope.resolve_response and the query
+    audit log): when a dict is passed, it is filled with values_df,
+    compiled, and query_log — the per-(hop, query, index) audit rows
+    mirroring Job.java:166-197 serializeLoggedQuery (hop, query number,
+    index, attribute resolvers, term resolvers, seed-id count, hit
+    count). There is no embedded ES request/response JSON to log — the
+    engine runs DataFrame plans, not ES queries."""
     config = config or SeededConfig()
+    query_log: list[dict] = []
     model.prune(input.scope)
     compiled = compile_model(model, input.attr_params())
+
+    # Input.java:380-420: every date attribute must have a 'format'
+    # somewhere in the input > model-attribute > matcher chain
+    from zentity_spark.java_dates import validate_date_formats
+
+    validate_date_formats(compiled, input.attr_params())
 
     parsed = parse_turns(turns)
     values_df = build_values(spark, turns, compiled).localCheckpoint()
@@ -330,8 +355,14 @@ def resolve(
             elif atype == "number" and _NUMBER_RE.match(s):
                 term_state.add(a, s)
             elif atype == "date":
-                fmt = (input.attr_params().get(a) or {}).get("format")
-                if parse_ts_py(s, fmt) is not None:
+                # term.isDate(format) under the chain format ONLY
+                # (Query.java:619-642): no trial-format fallback — a
+                # term is a date for this attribute iff the resolved
+                # format parses it (SimpleDateFormat prefix semantics)
+                from zentity_spark.java_dates import parse_java_date, resolve_format_chain
+
+                fmt = resolve_format_chain(a, compiled, input.attr_params())
+                if fmt is not None and parse_java_date(s, fmt) is not None:
                     term_state.add(a, s, fmt)
             elif atype == "string":
                 term_state.add(a, s)
@@ -350,6 +381,7 @@ def resolve(
         # snapshot before the per-index loop so extraction during this hop
         # doesn't leak into this hop's queryability
         awv = set(state.attrs_with_values())
+        hop_query_number = 0
 
         for index in indexes:
             queryable = [
@@ -364,6 +396,8 @@ def resolve(
             seeds = input.ids.get(index, []) if hop == 0 else []
             if not queryable and not term_queryable and not seeds:
                 continue
+            qnum = hop_query_number
+            hop_query_number += 1
 
             pred = F.lit(False)
             per_rec = None
@@ -463,6 +497,17 @@ def resolve(
             new_hits = (
                 cand.orderBy("record_id").limit(config.max_docs_per_query).collect()
             )
+            query_log.append(
+                {
+                    "hop": hop,
+                    "query": qnum,
+                    "index": index,
+                    "resolvers": list(queryable),
+                    "term_resolvers": list(term_queryable),
+                    "seed_ids": len(seeds),
+                    "hits": len(new_hits),
+                }
+            )
             if not new_hits:
                 continue
             hop_new = True
@@ -470,7 +515,8 @@ def resolve(
             got.update(hit_ids)
             for r in new_hits:
                 doc_id = r["record_id"].split("/", 1)[-1]
-                h = Hit(record_id=r["record_id"], index=index, doc_id=doc_id, hop=hop)
+                h = Hit(record_id=r["record_id"], index=index, doc_id=doc_id,
+                        hop=hop, query=qnum)
                 detail = r["detail"] or []
                 if config.include_explanation:
                     h.explanation = [
@@ -508,10 +554,12 @@ def resolve(
                 values_df.where(
                     (F.col("source") == index) & F.col("record_id").isin(hit_ids)
                 )
-                .select("attribute", "raw")
+                .select("attribute", "field", "raw", "ts")
                 .distinct()
                 .collect()
             )
+            from zentity_spark.java_dates import format_java_date, resolve_format_chain
+
             for row in ext:
                 a = row["attribute"]
                 atype = compiled.attr_types.get(a)
@@ -526,9 +574,30 @@ def resolve(
                 if atype == "date" and a not in input_attrs:
                     continue
                 fmt = (input.attr_params().get(a) or {}).get("format")
-                state.add(a, row["raw"], fmt)
+                serialized = row["raw"]
+                if atype == "date":
+                    # extracted dates arrive through the script_fields
+                    # reformat (Query.java:77-130): the doc's instant
+                    # RE-PRINTED through the chain format — real
+                    # sub-pattern precision is dropped, exactly like the
+                    # reference's SimpleDateFormat script
+                    chain_fmt = resolve_format_chain(
+                        a, compiled, input.attr_params(), index=index,
+                        field=row["field"],
+                    )
+                    if chain_fmt is not None and row["ts"] is not None:
+                        try:
+                            serialized = format_java_date(row["ts"], chain_fmt)
+                        except ValueError:
+                            serialized = row["raw"]
+                        fmt = chain_fmt
+                state.add(a, serialized, fmt)
 
         if not hop_new:
             break
 
+    if _capture is not None:
+        _capture.update(
+            values_df=values_df, compiled=compiled, query_log=query_log
+        )
     return hits

@@ -105,6 +105,27 @@ class SnapshotStore:
         return spark.read.parquet(*[s["data_path"] for s in snaps])
 
 
+def query_log_metrics(spark: SparkSession, query_log: list[dict],
+                      run_id: str) -> DataFrame:
+    """Seeded-mode per-hop query audit rows (S7, Job.java:166-197
+    serializeLoggedQuery): one row per (hop, query, index) with the
+    resolver filters and hit count, ready to commit to the metrics
+    store alongside the batch pipeline's partition counters."""
+    rows = [
+        (
+            run_id, int(q["hop"]), int(q["query"]), q["index"],
+            ",".join(q["resolvers"]), ",".join(q["term_resolvers"]),
+            int(q.get("seed_ids", 0)), int(q["hits"]),
+        )
+        for q in query_log
+    ]
+    schema = (
+        "run_id string, hop int, query int, index string, resolvers string,"
+        " term_resolvers string, seed_ids int, hits int"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def partition_metrics(df: DataFrame, stage: str, run_id: str) -> DataFrame:
     """Per-partition lineage counters (north_rule requirement): one row
     per (run, stage, partition) with its row count — computed with

@@ -85,6 +85,12 @@ def parse_turns(turns: DataFrame) -> DataFrame:
             .alias("source"),
             F.substring_index("text", "=", 1).alias("path"),
             F.expr("substring(text, instr(text, '=') + 1)").alias("raw"),
+            # document-order position within the record: turn order. For
+            # documents_to_turns-encoded docs, turn order is (path, pos)
+            # so per-path order equals the document's array order — the
+            # response envelope renders target_value lists in this order
+            # (Job.java docIndexFields keeps the _source array order)
+            F.col("turn_idx").cast("int").alias("pos"),
         )
     )
 
@@ -216,7 +222,8 @@ def values_from_parsed(spark: SparkSession, parsed: DataFrame,
     rows = compiled.mapping_rows(physical_paths)
     mapping_schema = (
         "source string, path string, field string, attribute string, matcher string,"
-        " kind string, threshold string, quality double, attr_type string"
+        " kind string, threshold string, quality double, attr_type string,"
+        " date_fmt string"
     )
     mapping = spark.createDataFrame(rows, mapping_schema) if rows else spark.createDataFrame([], mapping_schema)
 
@@ -224,9 +231,21 @@ def values_from_parsed(spark: SparkSession, parsed: DataFrame,
         F.col("raw").isNotNull() & (F.col("raw") != "") & (F.col("raw") != "null")
     ).join(F.broadcast(mapping), ["source", "path"], "inner")
 
-    ts = F.when(F.col("attr_type") == "date", parse_ts(F.col("raw"))).otherwise(
-        F.lit(None).cast("double")
+    # the field's declared Java format first (DateTimeFormatter accepts
+    # the same y/M/d/H/m/s/S + quoted-literal subset; epoch_millis /
+    # epoch_second handled explicitly), then the trial-format chain
+    fmt = F.col("date_fmt")
+    fmt_ts = F.coalesce(
+        F.when(fmt == "epoch_millis", F.col("raw").try_cast("double") / 1000.0),
+        F.when(fmt == "epoch_second", F.col("raw").try_cast("double")),
+        F.when(
+            fmt.isNotNull() & ~fmt.isin("epoch_millis", "epoch_second"),
+            F.try_to_timestamp(F.col("raw"), fmt).cast("double"),
+        ),
     )
+    ts = F.when(
+        F.col("attr_type") == "date", F.coalesce(fmt_ts, parse_ts(F.col("raw")))
+    ).otherwise(F.lit(None).cast("double"))
     return (
         joined.withColumn("ts", ts)
         .withColumn("eq_keys", eq_keys_for_kind(F.col("kind"), F.col("raw")))
@@ -236,7 +255,7 @@ def values_from_parsed(spark: SparkSession, parsed: DataFrame,
         )
         .select(
             "record_id", "source", "attribute", "field", "matcher", "kind",
-            "quality", "raw", "ts", "eq_keys", "blk_keys",
+            "quality", "raw", "ts", "eq_keys", "blk_keys", "pos",
         )
     )
 
