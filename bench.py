@@ -94,6 +94,43 @@ def run_pipeline(spark, n_entities: int):
     return wall, n_turns, precision, recall, n_clusters
 
 
+def ann_probe(spark, sf_dir: str) -> dict:
+    """Sub-quadratic evidence for the banded-LSH ANN path: candidate
+    pair count vs the all-pairs quadratic at this scale, plus bucketed
+    top-k recall against the brute-force baseline."""
+    from pyspark.sql import functions as F
+
+    from zentity_spark.extras import (
+        ann_topk_bruteforce,
+        ann_topk_bucketed,
+        banded_lsh_buckets,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    b = banded_lsh_buckets(e, dim=64, bands=8, planes_per_band=8)
+    cand = (
+        b.alias("l")
+        .join(b.alias("r"), ["band", "bucket"])
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id"), F.col("r.vec_id"))
+        .distinct()
+        .count()
+    )
+    brute = {r["vec_id"] for r in ann_topk_bruteforce(e, 0, 10).collect()}
+    bucketed = {
+        r["vec_id"]
+        for r in ann_topk_bucketed(e, 0, 10, dim=64, bands=8, planes_per_band=8).collect()
+    }
+    return {
+        "vectors": n,
+        "candidate_pairs": cand,
+        "all_pairs": n * (n - 1) // 2,
+        "candidate_fraction": round(cand / max(n * (n - 1) // 2, 1), 6),
+        "topk_recall_vs_bruteforce": round(len(brute & bucketed) / 10, 3),
+    }
+
+
 QUERY_SUBSET = [
     "conv_assembly",
     "blocking_keys",
@@ -109,6 +146,7 @@ QUERY_SUBSET = [
     "minhash_signatures",
     "embedding_near_dup",
     "ann_topk",
+    "ann_lsh_topk",
     "text_quality",
     "sessionize",
 ]
@@ -148,6 +186,7 @@ def main():
         "pair_precision": round(precision, 6),
         "pair_recall": round(recall, 6),
         "cpus": cpus,
+        "ann": ann_probe(spark, sf_dir),
     }
     spark.stop()
 

@@ -53,3 +53,40 @@ def test_soundex_known_codes(pairs):
     by_tok = {TOKENS[i]: c for i, c in got_spark.items()}
     for tok, code in expect.items():
         assert by_tok[tok] == code, f"{tok}: {by_tok[tok]} != {code}"
+
+
+def test_spark_soundex_py_parity(spark):
+    """matchers.spark_soundex_py must equal Spark's soundex() byte for
+    byte (it builds the seeded-mode input keys for soundex matchers)."""
+    from zentity_spark.matchers import spark_soundex_py
+
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(TOKENS)],
+                                "i long, t string")
+    jvm = {r["i"]: r["sx"] for r in
+           sdf.select("i", F.soundex("t").alias("sx")).collect()}
+    for i, tok in enumerate(TOKENS):
+        assert spark_soundex_py(tok) == jvm[i], tok
+
+
+def test_seeded_soundex_matching(spark):
+    """A soundex similarity matcher matches phonetically-alike values in
+    seeded mode (extension matcher surface, SURVEY §2.10)."""
+    from zentity_spark.model import Model
+    from zentity_spark.resolve import Input, resolve
+
+    model = Model({
+        "attributes": {"name": {}},
+        "resolvers": {"r": {"attributes": ["name"]}},
+        "matchers": {"sx": {"clause": {"similarity": {"method": "soundex"}}}},
+        "indices": {"idx": {"fields": {"name": {"attribute": "name", "matcher": "sx"}}}},
+    })
+    rows = [
+        ("idx/1", 0, "user", "name=Robert", None, None),
+        ("idx/2", 0, "user", "name=Rupert", None, None),
+        ("idx/3", 0, "user", "name=Smith", None, None),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    hits = resolve(spark, turns, model, Input(attributes={"name": ["Robert"]}))
+    assert {h.doc_id for h in hits} == {"1", "2"}  # R163 phonetic pair

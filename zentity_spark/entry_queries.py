@@ -1097,36 +1097,85 @@ def _sql_lsh_buckets(n_planes: int = 6, dim: int = 64) -> str:
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup: hyperplane-LSH bucket join + exact
+    """Embedding-cosine near-dup: BANDED multi-table hyperplane LSH
+    (2 bands × 6 planes here) + capped/salted bucket self-join + exact
     cosine verify (the embedding member of the dedup family)."""
     from zentity_spark.extras import embedding_near_dup_pairs
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup_pairs(e, dim=64, n_planes=6, threshold=0.2).orderBy(
-        "id_l", "id_r"
-    )
+    return embedding_near_dup_pairs(
+        e, dim=64, threshold=0.2, bands=2, planes_per_band=6
+    ).orderBy("id_l", "id_r")
 
 
-def _sql_embedding_near_dup(n_planes: int = 6, dim: int = 64,
-                            threshold: float = 0.2) -> str:
+def _sql_bucket_expr(planes_per_band: int, dim: int, plane_offset: int) -> str:
     import hashlib
 
     plane_terms = []
-    for p in range(n_planes):
+    for i in range(planes_per_band):
+        p = plane_offset + i
         dot = " + ".join(
             f"CAST(embedding[{j+1}] AS DOUBLE) * ({int(hashlib.md5(f'{p}_{j}'.encode()).hexdigest()[:4], 16) % 2001 - 1000}.0)"
             for j in range(dim)
         )
-        plane_terms.append(f"CASE WHEN ({dot}) > 0 THEN {2**p} ELSE 0 END")
-    bucket = " + ".join(plane_terms)
-    cos = ("round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), "
-           "CAST(r.embedding AS DOUBLE[])), 6)")
+        plane_terms.append(f"CASE WHEN ({dot}) > 0 THEN {2**i} ELSE 0 END")
+    return " + ".join(plane_terms)
+
+
+def _sql_banded_buckets(bands: int, planes_per_band: int, dim: int) -> str:
+    parts = [
+        f"SELECT vec_id, embedding, {b} AS band, "
+        f"CAST({_sql_bucket_expr(planes_per_band, dim, b * planes_per_band)} AS BIGINT) AS bucket "
+        "FROM embeddings"
+        for b in range(bands)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _sql_embedding_near_dup(bands: int = 2, planes_per_band: int = 6,
+                            dim: int = 64, threshold: float = 0.2) -> str:
+    cos = ("round(list_cosine_similarity(CAST(le.embedding AS DOUBLE[]), "
+           "CAST(re.embedding AS DOUBLE[])), 6)")
     return f"""
-WITH b AS (SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings)
-SELECT l.vec_id AS id_l, r.vec_id AS id_r, {cos} AS cosine
-FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WITH b AS ({_sql_banded_buckets(bands, planes_per_band, dim)}),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_l, r.vec_id AS id_r
+  FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.vec_id < r.vec_id
+)
+SELECT id_l, id_r, {cos} AS cosine
+FROM cand
+JOIN embeddings le ON le.vec_id = id_l
+JOIN embeddings re ON re.vec_id = id_r
 WHERE {cos} >= {threshold}
 ORDER BY id_l, id_r
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Bucketed approximate top-k (the ANN scale path): cosine scored
+    only over vectors sharing a band bucket with the query."""
+    from zentity_spark.extras import ann_topk_bucketed
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk_bucketed(e, query_vec_id=0, k=10, dim=64, bands=2,
+                             planes_per_band=6)
+
+
+def _sql_ann_lsh_topk(bands: int = 2, planes_per_band: int = 6,
+                      dim: int = 64, k: int = 10) -> str:
+    return f"""
+WITH b AS ({_sql_banded_buckets(bands, planes_per_band, dim)}),
+qb AS (SELECT band, bucket FROM b WHERE vec_id = 0),
+probe AS (
+  SELECT DISTINCT b.vec_id FROM b JOIN qb ON b.band = qb.band AND b.bucket = qb.bucket
+  WHERE b.vec_id <> 0
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])), 6) AS cosine
+FROM embeddings e JOIN probe ON probe.vec_id = e.vec_id, q
+ORDER BY cosine DESC, e.vec_id ASC LIMIT {k}
 """
 
 
@@ -1367,6 +1416,7 @@ def all_queries():
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "lsh_buckets": q_lsh_buckets,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
@@ -1407,6 +1457,7 @@ def all_oracles():
         "simhash": SQL_SIMHASH,
         "ann_topk": SQL_ANN_TOPK,
         "lsh_buckets": _sql_lsh_buckets(),
+        "ann_lsh_topk": _sql_ann_lsh_topk(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "text_quality": SQL_TEXT_QUALITY,
         "language_id": _sql_language_id(),

@@ -231,6 +231,44 @@ def pairwise_predicate(spec: ComparatorSpec, left_raw: Column, right_raw: Column
     raise ValidationException(f"[{spec.kind}] has no pairwise predicate")
 
 
+_SX_MAP = "01230127022455012623017202"
+
+
+def spark_soundex_py(s: str) -> str:
+    """Driver-side replica of Spark's UTF8String.soundex (the JVM
+    function that builds the soundex eq_keys): US English mapping with
+    H/W ('7') transparent, vowels and non-letters resetting the last
+    code, and a non-letter FIRST character returning the input
+    unchanged. Needed so seeded-mode input values land on the same
+    phonetic keys the data side produces."""
+    if not s:
+        return s
+    c0 = s[0]
+    if "a" <= c0 <= "z":
+        c0 = chr(ord(c0) - 32)
+    elif not ("A" <= c0 <= "Z"):
+        return s
+    sx = [c0, "0", "0", "0"]
+    sxi = 1
+    last = _SX_MAP[ord(c0) - 65]
+    for ch in s[1:]:
+        if "a" <= ch <= "z":
+            ch = chr(ord(ch) - 32)
+        elif not ("A" <= ch <= "Z"):
+            last = "0"
+            continue
+        code = _SX_MAP[ord(ch) - 65]
+        if code == "7":
+            continue
+        if code != "0" and code != last:
+            sx[sxi] = code
+            sxi += 1
+            if sxi > 3:
+                break
+        last = code
+    return "".join(sx)
+
+
 def jaro_winkler_pandas(a, b):
     """Vectorized Jaro-Winkler similarity over two pd.Series of strings.
 

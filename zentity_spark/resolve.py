@@ -170,7 +170,11 @@ def _input_key_rows(state: _EntityState, compiled: CompiledModel):
             if "normalized" in kinds:
                 eq_rows.append((attribute, "normalized", strip_punct_py(v), v))
             if "soundex" in kinds:
-                eq_rows.append((attribute, "soundex", None, v))  # key built Spark-side
+                from zentity_spark.matchers import spark_soundex_py
+
+                eq_rows.append(
+                    (attribute, "soundex", "sx:" + spark_soundex_py(v), v)
+                )
             if kinds & {"fuzzy", "levenshtein", "jaro_winkler"}:
                 fuzz_rows.append((attribute, strip_punct_py(v), v))
         if "date_window" in kinds:
