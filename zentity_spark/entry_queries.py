@@ -189,31 +189,55 @@ WHERE a.conv_id < b.conv_id
 
 
 def q_pairs_levenshtein(spark, sf_dir):
-    """P4: fuzzy matcher — levenshtein within blocks (customer names
-    blocked by nation)."""
+    """P4: fuzzy matcher via the engine's DELETION-NEIGHBORHOOD blocking
+    (transcripts._deletion_keys, the SymSpell scheme): each name emits
+    itself plus its one-char-deletions as keys; two names within one
+    edit ALWAYS share a key, and key blocks stay uniformly small at any
+    scale — unlike value-agnostic blocks (e.g. by nation), whose pair
+    count grows O(n²/|blocks|). Candidates are verified with the exact
+    levenshtein predicate on the strip-punct normal form."""
+    from zentity_spark.transcripts import _deletion_keys
+
     c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_name", "c_nationkey"
+        "c_custkey",
+        F.regexp_replace("c_name", "[^a-zA-Z0-9]", "").alias("norm"),
     )
-    l = c.alias("l")
-    r = c.alias("r")
+    keyed = c.select(
+        "c_custkey", "norm", F.explode(_deletion_keys(F.col("norm"))).alias("k")
+    )
+    l = keyed.alias("l")
+    r = keyed.alias("r")
     return (
-        l.join(r, F.col("l.c_nationkey") == F.col("r.c_nationkey"))
+        l.join(r, F.col("l.k") == F.col("r.k"))
         .where(F.col("l.c_custkey") < F.col("r.c_custkey"))
-        .withColumn("lev", F.levenshtein(F.col("l.c_name"), F.col("r.c_name")))
-        .where(F.col("lev") <= 2)
         .select(
             F.col("l.c_custkey").alias("key_l"),
             F.col("r.c_custkey").alias("key_r"),
-            F.col("lev").cast("int").alias("lev"),
+            F.col("l.norm").alias("nl"),
+            F.col("r.norm").alias("nr"),
         )
+        .dropDuplicates(["key_l", "key_r"])
+        .withColumn("lev", F.levenshtein("nl", "nr").cast("int"))
+        .where(F.col("lev") <= 1)
+        .select("key_l", "key_r", "lev")
     )
 
 
 SQL_PAIRS_LEVENSHTEIN = """
-SELECT l.c_custkey AS key_l, r.c_custkey AS key_r,
-       CAST(levenshtein(l.c_name, r.c_name) AS INT) AS lev
-FROM customer l JOIN customer r ON l.c_nationkey = r.c_nationkey
-WHERE l.c_custkey < r.c_custkey AND levenshtein(l.c_name, r.c_name) <= 2
+WITH n AS (
+  SELECT c_custkey, regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g') AS norm
+  FROM customer
+), k AS (
+  SELECT c_custkey, norm,
+         unnest(list_prepend('d:' || norm,
+           list_transform(generate_series(1, greatest(strlen(norm), 1)),
+             i -> 'd:' || substr(norm, 1, i - 1) || substr(norm, i + 1)))) AS k
+  FROM n
+)
+SELECT DISTINCT l.c_custkey AS key_l, r.c_custkey AS key_r,
+       CAST(levenshtein(l.norm, r.norm) AS INT) AS lev
+FROM k l JOIN k r ON l.k = r.k
+WHERE l.c_custkey < r.c_custkey AND levenshtein(l.norm, r.norm) <= 1
 """
 
 

@@ -141,13 +141,27 @@ def cosine_sim(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda s, v: s + v,
     )
-    na = F.sqrt(
+    return dot / (vec_norm(a) * vec_norm(b))
+
+
+def vec_norm(a: Column) -> Column:
+    """L2 norm of an array column (precompute per VECTOR before a pair
+    join — inside cosine_sim both norms are re-evaluated per PAIR, which
+    triples the per-pair HOF work on verify joins)."""
+    return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double"))
     )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double"))
+
+
+def cosine_from_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine using per-vector precomputed norms: one zip_with/aggregate
+    per pair instead of three."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
     )
-    return dot / (na * nb)
+    return dot / (norm_a * norm_b)
 
 
 def ann_topk_bruteforce(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
@@ -253,18 +267,30 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dim: int = 64,
         blocks, max_block_size=max_bucket_size, salt_threshold=salt_threshold
     )
     pairs = cand.select("id_l", "id_r").dropDuplicates(["id_l", "id_r"])
-    vecs = embeddings.select("vec_id", "embedding")
+    # norms once per VECTOR (n aggregates), not per pair side (2·|pairs|)
+    vecs = embeddings.select(
+        "vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm")
+    )
     return (
-        pairs.join(vecs.withColumnRenamed("vec_id", "id_l").withColumnRenamed("embedding", "emb_l"), "id_l")
-        .join(vecs.withColumnRenamed("vec_id", "id_r").withColumnRenamed("embedding", "emb_r"), "id_r")
-        .withColumn("cosine", F.round(cosine_sim(F.col("emb_l"), F.col("emb_r")), 6))
+        pairs.join(
+            vecs.select(F.col("vec_id").alias("id_l"), F.col("embedding").alias("emb_l"),
+                        F.col("nrm").alias("nrm_l")), "id_l")
+        .join(
+            vecs.select(F.col("vec_id").alias("id_r"), F.col("embedding").alias("emb_r"),
+                        F.col("nrm").alias("nrm_r")), "id_r")
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_from_norms(F.col("emb_l"), F.col("emb_r"),
+                                  F.col("nrm_l"), F.col("nrm_r")), 6),
+        )
         .where(F.col("cosine") >= threshold)
         .select("id_l", "id_r", "cosine")
     )
 
 
 def ann_topk_bucketed(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
-                      dim: int = 64, bands: int = 8,
+                      dim: int = 64, bands: int = 16,
                       planes_per_band: int = 8) -> DataFrame:
     """Bucketed approximate top-k: score ONLY the vectors that share at
     least one band bucket with the query (the IVF-style probe set),

@@ -386,6 +386,7 @@ def resolve(
         # doesn't leak into this hop's queryability
         awv = set(state.attrs_with_values())
         hop_query_number = 0
+        hop_new_ids: list[str] = []
 
         for index in indexes:
             queryable = [
@@ -544,21 +545,26 @@ def resolve(
                     h.score = composite_identity_confidence_score(list(best.values()))
                 hits.append(h)
 
-            # extraction: accumulate the new docs' values (Job.java:1096-1113).
-            # Date values participate in later hops only when the INPUT
-            # declares the date attribute: the reference's date handling is
-            # anchored on the input-side format chain (script_fields
-            # reformat, Query.java:77-130), and the golden fixtures show
-            # extracted dates matching in testJobDataTypesDate (input date
-            # present) but never in testJobScore (input date absent —
-            # e.g. a1's expected score 0.5 admits no date match,
-            # ResolutionActionIT.java:1593-1630).
+            hop_new_ids.extend(hit_ids)
+
+        # extraction: accumulate the new docs' values (Job.java:1096-1113)
+        # — ONE driver round-trip per hop covering every index's new hits
+        # (extraction order within a hop cannot affect this hop's
+        # matching: `matches` was computed from the pre-hop state, and
+        # the hop queue snapshot `awv` was taken before the index loop).
+        # Date values participate in later hops only when the INPUT
+        # declares the date attribute: the reference's date handling is
+        # anchored on the input-side format chain (script_fields
+        # reformat, Query.java:77-130), and the golden fixtures show
+        # extracted dates matching in testJobDataTypesDate (input date
+        # present) but never in testJobScore (input date absent —
+        # e.g. a1's expected score 0.5 admits no date match,
+        # ResolutionActionIT.java:1593-1630).
+        if hop_new_ids:
             input_attrs = set(input.attr_values())
             ext = (
-                values_df.where(
-                    (F.col("source") == index) & F.col("record_id").isin(hit_ids)
-                )
-                .select("attribute", "field", "raw", "ts")
+                values_df.where(F.col("record_id").isin(sorted(set(hop_new_ids))))
+                .select("source", "attribute", "field", "raw", "ts")
                 .distinct()
                 .collect()
             )
@@ -586,7 +592,7 @@ def resolve(
                     # sub-pattern precision is dropped, exactly like the
                     # reference's SimpleDateFormat script
                     chain_fmt = resolve_format_chain(
-                        a, compiled, input.attr_params(), index=index,
+                        a, compiled, input.attr_params(), index=row["source"],
                         field=row["field"],
                     )
                     if chain_fmt is not None and row["ts"] is not None:
