@@ -1,0 +1,174 @@
+"""Structured Streaming surface: streaming values parity with the batch
+path, session windows, the applyInPandasWithState assembly operator, and
+multi-batch incremental linkage converging to the batch result."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from zentity_spark.compiler import compile_model
+from zentity_spark.model import Model
+
+MODEL = {
+    "attributes": {"k": {}},
+    "resolvers": {"r": {"attributes": ["k"]}},
+    "matchers": {"exact": {"clause": {"term": {"{{ field }}": "{{ value }}"}}}},
+    "indices": {"default": {"fields": {"key": {"attribute": "k", "matcher": "exact"}}}},
+}
+
+# three linkage components: {c1,c2,c3} via k=1/2 chains, {c4,c5}, {c6}
+ROWS = [
+    ("c1", 0, "user", "key=1", None, "2024-01-01 00:00:00"),
+    ("c1", 1, "user", "key=2", None, "2024-01-01 00:00:05"),
+    ("c2", 0, "user", "key=2", None, "2024-01-01 00:30:00"),
+    ("c3", 0, "user", "key=1", None, "2024-01-01 01:00:00"),
+    ("c4", 0, "user", "key=7", None, "2024-01-01 00:00:00"),
+    ("c5", 0, "user", "key=7", None, "2024-01-01 00:00:01"),
+    ("c6", 0, "user", "key=9", None, "2024-01-01 00:00:00"),
+]
+
+
+def _write_turn_files(spark, base: str, split: int):
+    """Two parquet files (one per micro-batch under maxFilesPerTrigger=1)."""
+    df = spark.createDataFrame(
+        [(c, i, r, t, tool, ts) for c, i, r, t, tool, ts in ROWS],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    a = df.where(F.col("conv_id").isin([r[0] for r in ROWS[:split]]))
+    b = df.subtract(a)
+    a.coalesce(1).write.parquet(os.path.join(base, "in"), mode="overwrite")
+    b.coalesce(1).write.mode("append").parquet(os.path.join(base, "in"))
+    return os.path.join(base, "in")
+
+
+def test_stream_values_parity(spark, tmp_path):
+    from zentity_spark.streaming import read_turn_stream, stream_values
+    from zentity_spark.transcripts import build_values
+
+    path = _write_turn_files(spark, str(tmp_path), split=4)
+    compiled = compile_model(Model(MODEL))
+    stream = read_turn_stream(spark, path)
+    sv = stream_values(spark, stream, compiled, {("default", "key"): "key"})
+    assert sv.isStreaming
+    q = (
+        sv.writeStream.format("memory").queryName("sv_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["record_id"], r["attribute"], r["raw"])
+        for r in spark.sql("SELECT * FROM sv_out").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(c, i, r, t, tool, ts) for c, i, r, t, tool, ts in ROWS],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    expect = {
+        (r["record_id"], r["attribute"], r["raw"])
+        for r in build_values(spark, batch_df, compiled,
+                              {("default", "key"): "key"}).collect()
+    }
+    assert got == expect and len(got) == 7
+
+
+def test_stream_sessionize(spark, tmp_path):
+    from zentity_spark.streaming import read_turn_stream, stream_sessionize
+
+    path = _write_turn_files(spark, str(tmp_path), split=4)
+    stream = read_turn_stream(spark, path)
+    sess = stream_sessionize(stream, gap_seconds=600)
+    q = (
+        sess.writeStream.format("memory").queryName("sess_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT conv_id, n_turns FROM sess_out").collect()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r["n_turns"])
+    # c1's two turns are 5s apart → one session of 2; every other conv
+    # has single-turn sessions
+    assert by_conv["c1"] == [2]
+    assert all(v == [1] for c, v in by_conv.items() if c != "c1")
+
+
+def test_stateful_assembly(spark, tmp_path):
+    from zentity_spark.streaming import (
+        assemble_conversations_stateful,
+        read_turn_stream,
+    )
+    from zentity_spark.transcripts import assemble_conversations
+
+    path = _write_turn_files(spark, str(tmp_path), split=4)
+    stream = read_turn_stream(spark, path, max_files_per_trigger=1)
+    asm = assemble_conversations_stateful(stream)
+    q = (
+        asm.writeStream.format("memory").queryName("asm_out")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    # update mode: keep the final (highest n_turns) row per conv
+    rows = spark.sql(
+        "SELECT conv_id, conv_text, n_turns FROM asm_out"
+    ).collect()
+    final = {}
+    for r in rows:
+        if r["conv_id"] not in final or r["n_turns"] > final[r["conv_id"]]["n_turns"]:
+            final[r["conv_id"]] = r
+    batch_df = spark.createDataFrame(
+        [(c, i, r, t, tool, ts) for c, i, r, t, tool, ts in ROWS],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    expect = {
+        r["conv_id"]: r for r in assemble_conversations(batch_df).collect()
+    }
+    assert set(final) == set(expect)
+    for c in expect:
+        assert final[c]["conv_text"] == expect[c]["conv_text"], c
+        assert final[c]["n_turns"] == expect[c]["n_turns"], c
+
+
+def test_incremental_resolve_converges(spark, tmp_path):
+    """Multi-micro-batch incremental linkage == batch resolve_all on the
+    full corpus (new×all blocking; snapshot-committed values/edges/
+    clusters; idempotent on batch replay)."""
+    from zentity_spark.pipeline import ResolutionConfig, resolve_all
+    from zentity_spark.storage import SnapshotStore
+    from zentity_spark.streaming import incremental_resolve, read_turn_stream
+
+    path = _write_turn_files(spark, str(tmp_path), split=3)
+    out_root = str(tmp_path / "inc")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_turn_stream(spark, path, max_files_per_trigger=1)
+    model = Model(MODEL)
+    q = incremental_resolve(spark, stream, model, out_root,
+                            checkpoint_dir=ckpt)
+    q.awaitTermination(240)
+
+    store = SnapshotStore(out_root)
+    clusters = store.read(spark, "clusters")
+    got = {
+        frozenset(
+            r["record_id"] for r in clusters.where(F.col("cluster_id") == cid).collect()
+        )
+        for cid in [r["cluster_id"] for r in clusters.select("cluster_id").distinct().collect()]
+    }
+    batch_df = spark.createDataFrame(
+        [(c, i, r, t, tool, ts) for c, i, r, t, tool, ts in ROWS],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = resolve_all(spark, batch_df, model,
+                        ResolutionConfig(entity_closure=False))
+    expect = set()
+    bc = batch.clusters.collect()
+    for cid in {r["cluster_id"] for r in bc}:
+        expect.add(frozenset(r["record_id"] for r in bc if r["cluster_id"] == cid))
+    assert got == expect
+    assert {frozenset(x) for x in [{"c1", "c2", "c3"}, {"c4", "c5"}, {"c6"}]} == got
+
+    # ran as MULTIPLE micro-batches (maxFilesPerTrigger=1, two files)
+    fps = {s["fingerprint"] for s in store.snapshots("values")}
+    assert len(fps) >= 2
