@@ -109,3 +109,43 @@ def test_crash_consistency_orphan_data(spark, out_root):
     df.write.mode("overwrite").parquet(os.path.join(out_root, "ghost", "data", "dead"))
     assert store.latest("ghost") is None
     assert store.read(spark, "ghost") is None
+
+
+def test_candidates_stage_and_key_cap_lineage(spark, out_root):
+    """Round 2: candidates are a committed stage (blocking runs once per
+    run) and the max_keys_per_record truncation leaves a lineage row."""
+    turns = fixture_transcripts(spark)
+    turns = turns.where(turns.conv_id.rlike("^zentity_test_index_[abc]/"))
+    res = resolve_all_checkpointed(
+        spark, turns, _model(), out_root, input_token="fixture-abc",
+        config=ResolutionConfig(entity_closure=False, max_keys_per_record=2),
+    )
+    store = SnapshotStore(out_root)
+    assert store.latest("candidates") is not None
+    metrics = store.read_all(spark, "metrics")
+    stages = {r["stage"] for r in metrics.collect()}
+    assert "blocking.key_capped" in stages  # cap=2 must truncate somebody
+    second = resolve_all_checkpointed(
+        spark, turns, _model(), out_root, input_token="fixture-abc",
+        config=ResolutionConfig(entity_closure=False, max_keys_per_record=2),
+    )
+    assert second["stages"]["candidates"].get("resumed")
+
+
+def test_checkpointed_closure_matches_batch(spark, out_root):
+    """entity_closure in the checkpointed path must produce the same
+    clusters as resolve_all with closure (it was silently skipped before
+    round 2)."""
+    from zentity_spark.pipeline import resolve_all
+
+    turns = fixture_transcripts(spark)
+    turns = turns.where(turns.conv_id.rlike("^zentity_test_index_[abc]/"))
+    cfg = ResolutionConfig(entity_closure=True)
+    res = resolve_all_checkpointed(
+        spark, turns, _model(), out_root, input_token="fixture-abc", config=cfg
+    )
+    assert "clusters_closed" in res["stages"]
+    batch = resolve_all(spark, turns, _model(), cfg)
+    a = sorted(map(tuple, res["clusters"].collect()))
+    b = sorted(map(tuple, batch.clusters.collect()))
+    assert a == b

@@ -132,3 +132,29 @@ def test_error_envelope(spark):
 
     inner = serialize_exception(ValidationException("boom"), include_trace=False)
     assert "stack_trace" not in inner and '"by":"zentity"' in inner
+
+
+def test_source_echo_for_document_corpora(spark):
+    """_source=true echoes the original document JSON for corpora
+    ingested from raw docs (transcripts have no _source; the reference
+    moves _source to the end of the doc — Job.java:995-1002)."""
+    from tests.fixture_data import fixture_docs_df
+
+    docs = fixture_docs_df(spark, filenames=("TestDataArrays.txt",))
+    from zentity_spark.documents import documents_to_turns
+
+    turns = documents_to_turns(docs)
+    source_docs = docs.selectExpr(
+        "concat(source, '/', record_id) AS record_id", "_source"
+    )
+    resp = resolve_response(
+        spark, turns,
+        Model(load_reference_model("TestEntityModelArrays.json")),
+        Input(attributes={"string": ["abc"]}),
+        include_attributes=False, include_source=True, source_docs=source_docs,
+    )
+    obj = json.loads(resp)
+    doc = obj["hits"]["hits"][0]
+    assert doc["_id"] == "1"
+    assert doc["_source"]["string"] == "abc"
+    assert list(doc)[-1] == "_source"  # _source is last, reference order

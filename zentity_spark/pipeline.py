@@ -293,6 +293,19 @@ def resolve_all_checkpointed(
         lambda: _cluster_assignments(records, edges, config.cc_max_iterations),
     )
 
+    if config.entity_closure:
+        # same accumulate-and-requery closure as resolve_all (clusters
+        # re-blocked as super-records until fixpoint), committed as its
+        # own stage so reruns resume past it
+        def build_closed():
+            values = _build_filtered_values(spark, turns, compiled, config)
+            return _entity_closure(
+                spark, values, records,
+                edges.select("id_l", "id_r"), clusters, compiled, config,
+            )
+
+        clusters = stage("clusters_closed", build_closed)
+
     if config.score_candidate_pairs:
         from zentity_spark.scoring import score_pairs
         from zentity_spark.transcripts import assemble_conversations
