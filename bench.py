@@ -183,9 +183,16 @@ def main():
     queries = {}
     qmap = all_queries()
     for name in QUERY_SUBSET:
-        t0 = time.time()
-        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.time() - t0, 3)
+        # best of 2: the first execution of a query pays codegen compile
+        # + scan-cache cold costs that swamp sub-second plans and made
+        # round-over-round comparisons noisy
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
 
     out = {
         "metric": "resolve_all_wallclock",
