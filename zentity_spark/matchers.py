@@ -283,11 +283,14 @@ def jaro_winkler_pandas(a, b):
     def jw(s1, s2):
         if s1 is None or s2 is None:
             return float("nan")
-        if s1 == s2:
-            return 1.0
         l1, l2 = len(s1), len(s2)
         if l1 == 0 or l2 == 0:
+            # DuckDB parity: either side empty → 0.0, INCLUDING "" vs ""
+            # (hypothesis-found divergence: the equality shortcut used to
+            # return 1.0 there)
             return 0.0
+        if s1 == s2:
+            return 1.0
         match_dist = max(l1, l2) // 2 - 1
         m1 = bytearray(l1)
         m2 = bytearray(l2)

@@ -44,26 +44,34 @@ def _java_double_to_string(x: float) -> str:
         return "NaN"
     if math.isinf(x):
         return "Infinity" if x > 0 else "-Infinity"
+    if x == 0.0:
+        return repr(x)  # '0.0' / '-0.0', both Java forms
     ax = abs(x)
-    if ax != 0.0 and (ax < 1e-3 or ax >= 1e7):
-        # Java scientific form: d.dddEn (no '+' on exponent)
+    if 1e-3 <= ax < 1e7:
+        # Java plain zone; Python repr is plain decimal here too
         s = repr(x)
-        if "e" in s or "E" in s:
-            mant, _, exp = s.partition("e")
-            if "." not in mant:
-                mant += ".0"
-            e = int(exp)
-            return f"{mant}E{e}"
-        # repr gave plain notation; normalize to Java sci form
-        mant, e = f"{x:.17e}".split("e")
-        mant = repr(float(mant))  # shortest mantissa
-        return f"{mant}E{int(e)}"
-    s = repr(x)
-    if "e" in s or "E" in s:  # tiny magnitudes repr'd scientifically
-        return f"{x:.10f}".rstrip("0") + "0"
-    if "." not in s:
-        s += ".0"
-    return s
+        if "." not in s:
+            s += ".0"
+        return s
+    # Java scientific form d.dddEn (no '+' on the exponent). Derive the
+    # mantissa from repr's SHORTEST-ROUNDTRIP digits — re-rounding a
+    # fixed-width %e mantissa was a hypothesis-found off-by-one-ulp bug.
+    sign = "-" if x < 0 else ""
+    s = repr(ax)
+    if "e" in s:
+        mant, _, exp = s.partition("e")
+        e = int(exp)
+        if "." not in mant:
+            mant += ".0"
+    else:
+        ip, _, fp = s.partition(".")
+        digits = ip + fp
+        stripped = digits.lstrip("0")
+        lead_zeros = len(digits) - len(stripped)
+        e = len(ip) - lead_zeros - 1
+        rest = stripped[1:].rstrip("0") or "0"
+        mant = stripped[0] + "." + rest
+    return f"{sign}{mant}E{e}"
 
 
 def serialize_value(value: Any, attr_type: str = "string") -> str:
