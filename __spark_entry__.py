@@ -5,9 +5,11 @@
   over transcripts derived from /root/testdata/sf0.001/events.parquet.
 - queries(): one entry per implemented operator from SURVEY.md §2 plus
   the training-data-pipeline operators (dedup / ANN / text analysis /
-  multimodal plumbing).
-- oracle_sql(): DuckDB-runnable ANSI SQL equivalents (omitted only for
-  soundex, which DuckDB lacks → rows-only check).
+  multimodal plumbing) and the round-2 additions (seeded traversal +
+  scope + terms + weights, generic JSON extraction, banded-LSH ANN).
+- oracle_sql(): DuckDB-runnable ANSI SQL equivalents for EVERY query —
+  including soundex (expressed as a SQL code-list pipeline) and the
+  seeded hop traversals (recursive-CTE bipartite BFS).
 """
 
 from __future__ import annotations
