@@ -114,3 +114,41 @@ def test_validation_walk():
 
 def test_unsupported_letter_falls_back():
     assert parse_java_date("2000-01-01", "yyyy-MM-dd zzz") is None
+
+
+def test_spark_side_epoch_millis_values(spark):
+    """values_from_parsed parses date fields through the field's declared
+    format — including the non-pattern formats epoch_millis/epoch_second
+    — before the trial chain (compiler.date_fmt → transcripts ts)."""
+    from zentity_spark.transcripts import build_values
+
+    m = _date_model(matcher_params={"format": "epoch_millis"})
+    rows = [
+        ("idx/1", 0, "user", "f_ts=946684800000", None, None),
+        ("idx/2", 0, "user", "f_ts=946684801500", None, None),
+        ("idx/3", 0, "user", "f_ts=notadate", None, None),
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    values = build_values(spark, turns, compile_model(m))
+    got = {r["record_id"]: r["ts"] for r in values.collect()}
+    assert got["idx/1"] == pytest.approx(EPOCH_Y2K)
+    assert got["idx/2"] == pytest.approx(EPOCH_Y2K + 1.5)
+    assert got["idx/3"] is None  # unparseable → null ts, value kept
+
+
+def test_spark_side_literal_digit_format(spark):
+    """The fixture's literal-digit pattern parses via try_to_timestamp
+    (digits are literal in DateTimeFormatter too)."""
+    from zentity_spark.transcripts import build_values
+
+    m = _date_model(matcher_params={"format": "yyyy-MM-dd'T'HH:mm:ss.0000"})
+    turns = spark.createDataFrame(
+        [("idx/1", 0, "user", "f_ts=1999-12-31T23:59:57.0000", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    values = build_values(spark, turns, compile_model(m))
+    [r] = values.collect()
+    assert r["ts"] == pytest.approx(EPOCH_Y2K - 3)
