@@ -130,6 +130,14 @@ def ann_probe(spark, sf_dir: str) -> dict:
         for row in ann_topk_bucketed(e, 0, 10, dim=64, bands=bands,
                                      planes_per_band=r).collect()
     }
+    from zentity_spark.extras import ann_topk_ivf
+
+    ivf_cents, ivf_probe = 32, 8
+    ivf = {
+        row["vec_id"]
+        for row in ann_topk_ivf(e, 0, 10, n_centroids=ivf_cents,
+                                n_probe=ivf_probe, n_iters=1).collect()
+    }
     # NOTE: the synthetic embeddings are near-uniform random, so top-k
     # "neighbors" sit barely above the cosine noise floor — recall at a
     # small probe fraction measures LSH concentration (recall ÷
@@ -142,6 +150,9 @@ def ann_probe(spark, sf_dir: str) -> dict:
         "candidate_fraction": round(cand / max(n * (n - 1) // 2, 1), 6),
         "topk_probe_fraction": round(probe / max(n - 1, 1), 6),
         "topk_recall_vs_bruteforce": round(len(brute & bucketed) / 10, 3),
+        # IVF-flat path: scan-to-score fraction ≈ n_probe/n_centroids
+        "ivf_probe_fraction": round(ivf_probe / ivf_cents, 6),
+        "ivf_recall_vs_bruteforce": round(len(brute & ivf) / 10, 3),
     }
 
 
@@ -158,6 +169,7 @@ QUERY_SUBSET = [
     "composite_score",
     "dedup_exact",
     "minhash_signatures",
+    "simhash_near_dup",
     "embedding_near_dup",
     "ann_topk",
     "ann_lsh_topk",

@@ -1080,6 +1080,37 @@ FROM w ORDER BY doc_id
 """
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup: banded hamming LSH (4 slices of a 16-bit
+    fingerprint; pigeonhole-complete for hamming <= 3) + exact
+    bit_count(xor) verify. Same capped+salted bucket join as blocking."""
+    from zentity_spark.extras import simhash_near_dup_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dup_pairs(
+        d, n_bits=16, bands=4, max_hamming=3
+    ).orderBy("id_l", "id_r")
+
+
+SQL_SIMHASH_NEAR_DUP = f"""
+WITH w AS (SELECT doc_id, list_distinct({_SQL_WORDS}) AS words FROM documents),
+f AS (SELECT doc_id, CAST({_sql_simhash_bits()} AS BIGINT) AS fp FROM w),
+k AS (
+  SELECT doc_id, fp, b, (fp >> (b * 4)) & 15 AS slice
+  FROM f, unnest([0, 1, 2, 3]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r, l.fp AS fp_l, r.fp AS fp_r
+  FROM k l JOIN k r ON l.b = r.b AND l.slice = r.slice
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id_l, id_r, CAST(bit_count(xor(fp_l, fp_r)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_l, fp_r)) <= 3
+ORDER BY id_l, id_r
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-k similarity search (broadcast query vector,
     single scan + TakeOrdered)."""
@@ -1199,6 +1230,49 @@ q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id, e.label,
        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])), 6) AS cosine
 FROM embeddings e JOIN probe ON probe.vec_id = e.vec_id, q
+ORDER BY cosine DESC, e.vec_id ASC LIMIT {k}
+"""
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate top-k (the second ANN scale path, alongside
+    the banded-LSH probe): deterministic md5-sampled codebook, map-only
+    inline centroid assignment, probe-pruned TakeOrdered — zero
+    shuffles, zero joins."""
+    from zentity_spark.extras import ann_topk_ivf
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk_ivf(e, query_vec_id=0, k=10, n_centroids=16, n_probe=4)
+
+
+def _sql_ann_ivf_topk(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    return f"""
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {n_centroids}
+),
+a AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC,
+                      c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c)
+  WHERE rn = 1
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM c, q
+  ORDER BY round(list_cosine_similarity(cvec, qvec), 6) DESC, cid ASC
+  LIMIT {n_probe}
+)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qvec), 6) AS cosine
+FROM embeddings e JOIN a USING (vec_id) JOIN probe USING (cid), q
+WHERE e.vec_id <> 0
 ORDER BY cosine DESC, e.vec_id ASC LIMIT {k}
 """
 
@@ -1438,9 +1512,11 @@ def all_queries():
         "minhash_signatures": q_minhash_signatures,
         "near_dup_pairs": q_near_dup_pairs,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "ann_topk": q_ann_topk,
         "lsh_buckets": q_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
@@ -1479,9 +1555,11 @@ def all_oracles():
         "minhash_signatures": SQL_MINHASH,
         "near_dup_pairs": SQL_NEAR_DUP,
         "simhash": SQL_SIMHASH,
+        "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
         "ann_topk": SQL_ANN_TOPK,
         "lsh_buckets": _sql_lsh_buckets(),
         "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "ann_ivf_topk": _sql_ann_ivf_topk(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "text_quality": SQL_TEXT_QUALITY,
         "language_id": _sql_language_id(),

@@ -12,7 +12,8 @@ Dedup family:
   exact_dedup          hash-groupBy on canonicalized text
   shingles / minhash   k-shingle → banded min-hash signatures (LSH)
   near_dup_pairs       band-bucket join → verified n-gram Jaccard
-  simhash              64-bit charge/discharge fingerprint over tokens
+  simhash              charge/discharge fingerprint over tokens
+  simhash_near_dup     banded hamming LSH join → exact hamming verify
 Similarity search:
   ann_topk_bruteforce  exact cosine top-k (the baseline every ANN method
                        is measured against)
@@ -142,6 +143,74 @@ def sim_hash_expr(col: Column, n_bits: int = 16) -> Column:
         ssum = F.aggregate(words, F.lit(0), bit_merge(i))
         fp = fp + F.when(ssum > 0, F.lit(2 ** i)).otherwise(F.lit(0))
     return fp
+
+
+def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n_bits: int = 32,
+                           bands: int = 4, max_hamming: int = 3,
+                           max_bucket_size: int | None = 100_000,
+                           salt_threshold: int | None = 2000) -> DataFrame:
+    """SimHash near-duplicate pairs: banded hamming LSH candidates
+    verified with the exact hamming distance → (id_l, id_r, hamming).
+
+    Completeness is pigeonhole, not probabilistic: splitting an n_bits
+    fingerprint into `bands` equal slices guarantees that any pair
+    within hamming distance <= bands-1 agrees EXACTLY on at least one
+    slice — so the default bands=4, max_hamming=3 has recall 1.0 over
+    the fingerprints while each join key is only an n_bits/bands-bit
+    slice. Raising n_bits (not bands) is the scale lever: wider slices
+    → more buckets → smaller bucket quadratics, with completeness
+    untouched.
+
+    The band-slice self-join goes through the SAME capped + salted
+    machinery as entity blocking (blocking.candidate_pairs): degenerate
+    slices (e.g. empty-text fingerprint 0) are dropped deterministically
+    and reported, hot-but-legitimate slices are salted so no task owns a
+    whole bucket's pair quadratic. Candidates shuffle only
+    (band, slice, id) rows; fingerprints rejoin by id for the verify,
+    which is two longs + one bit_count(xor) per pair — there is no
+    text or token movement after fingerprinting.
+    """
+    from zentity_spark.blocking import candidate_pairs as _candidate_pairs
+
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    fps = docs.select(
+        F.col(id_col).alias("doc_id"),
+        sim_hash_expr(F.col(text_col), n_bits).alias("fp"),
+    )
+    blocks = fps.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("fp", b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("slice"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(
+        F.col("bk.band").cast("string").alias("resolver"),
+        F.col("bk.slice").cast("string").alias("ckey"),
+        F.col("doc_id").alias("record_id"),
+    )
+    cand, _dropped = _candidate_pairs(
+        blocks, max_block_size=max_bucket_size, salt_threshold=salt_threshold
+    )
+    pairs = cand.select("id_l", "id_r").dropDuplicates(["id_l", "id_r"])
+    return (
+        pairs
+        .join(fps.select(F.col("doc_id").alias("id_l"), F.col("fp").alias("fp_l")), "id_l")
+        .join(fps.select(F.col("doc_id").alias("id_r"), F.col("fp").alias("fp_r")), "id_r")
+        .withColumn(
+            "hamming", F.bit_count(F.col("fp_l").bitwiseXOR(F.col("fp_r"))).cast("int")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_l", "id_r", "hamming")
+    )
 
 
 # ----------------------------------------------------------------------
@@ -329,6 +398,128 @@ def ann_topk_bucketed(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
         .select(
             "vec_id", "label",
             F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _centroid_cos(emb: Column, vec: list[float]) -> Column:
+    """Rounded cosine of an embedding column against a DRIVER-SIDE
+    centroid vector, embedded as array literals (model-sized — the IVF
+    codebook is the same kind of small broadcast state as an entity
+    model). Rounding to 6dp before any argmax/ordering makes near-ties
+    resolve by the explicit centroid-id tie-break identically across
+    engines (same convention as every cosine oracle here)."""
+    import math
+
+    nc = math.sqrt(sum(x * x for x in vec))
+    lit = F.array(*[F.lit(float(x)) for x in vec])
+    dot = F.aggregate(
+        F.zip_with(emb, lit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    return F.round(dot / (vec_norm(emb) * F.lit(nc)), 6)
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                  n_iters: int = 0, dim: int = 64) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF coarse quantizer (the codebook).
+
+    Seeds are the n_centroids vectors with the smallest
+    md5(vec_id-as-string) — a deterministic, engine-independent uniform
+    sample (the standard IVF practice of using sampled points as
+    centroids). Optional Lloyd refinement (n_iters) recomputes each
+    centroid as the element-wise mean of its assigned vectors via dim
+    avg() aggregates — map-side partial aggregation, one shuffle of
+    n_centroids×dim doubles per iteration, no explode. At 100 TB the
+    refinement would run on a hash-sampled slice (the codebook
+    converges on a sample; assignment of the full corpus stays
+    map-only)."""
+    seeds = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [(i + 1, [float(x) for x in r["embedding"]]) for i, r in enumerate(seeds)]
+    for _ in range(n_iters):
+        assigned = ivf_assign(embeddings, cents)
+        means = (
+            embeddings.join(assigned, "vec_id")
+            .groupBy("cid")
+            .agg(*[F.avg(F.col("embedding")[i].cast("double")).alias(f"m{i}")
+                   for i in range(dim)])
+            .collect()
+        )
+        cmap = {r["cid"]: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        cents = [(cid, cmap.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
+def _ivf_cid_expr(cents: list[tuple[int, list[float]]]) -> Column:
+    best = F.array_max(
+        F.array(*[
+            F.struct(
+                _centroid_cos(F.col("embedding"), vec).alias("cos"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, vec in cents
+        ])
+    )
+    return (-best["ncid"]).alias("cid")
+
+
+def ivf_assign(embeddings: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid assignment → (vec_id, cid). MAP-ONLY: the
+    codebook rides into the expression as literals, the argmax is an
+    array_max over per-centroid (cosine, -cid) structs (highest cosine,
+    then lowest centroid id — deterministic under rounded ties), and no
+    shuffle or join touches the vectors. At production scale the
+    assigned table is written partitioned by cid, so probe filtering
+    becomes partition pruning."""
+    return embeddings.select("vec_id", _ivf_cid_expr(cents))
+
+
+def ann_topk_ivf(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
+                 n_centroids: int = 16, n_probe: int = 4,
+                 n_iters: int = 0, dim: int = 64) -> DataFrame:
+    """IVF-flat approximate top-k: rank only the vectors whose nearest
+    centroid is one of the query's n_probe closest centroids.
+
+    The whole search is scan → map (inline cid argmax) → filter (probe
+    cids) → TakeOrderedAndProject: zero shuffles, zero joins. Probe
+    selection happens driver-side on the model-sized codebook with the
+    same rounded-cosine + cid tie-break the assignment uses. Expected
+    scan-to-score fraction is ~n_probe/n_centroids of the corpus
+    (measured per-run by bench.py's ann probe for the LSH variant;
+    same contract here)."""
+    import math
+
+    cents = ivf_centroids(embeddings, n_centroids, n_iters, dim)
+    qvec = [
+        float(x)
+        for x in embeddings.where(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .first()[0]
+    ]
+    qn = math.sqrt(sum(x * x for x in qvec))
+    scored = sorted(
+        (
+            (-round(sum(a * b for a, b in zip(vec, qvec))
+                    / (math.sqrt(sum(x * x for x in vec)) * qn), 6), cid)
+            for cid, vec in cents
+        ),
+    )
+    probe = [cid for _, cid in scored[:n_probe]]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    return (
+        embeddings.withColumn("cid", _ivf_cid_expr(cents))
+        .where(F.col("cid").isin(probe) & (F.col("vec_id") != query_vec_id))
+        .select(
+            "vec_id", "label",
+            F.round(cosine_sim(F.col("embedding"), qlit), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
