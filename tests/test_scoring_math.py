@@ -102,3 +102,34 @@ def test_spark_composite_score_cols(spark):
         else:
             assert row.direct == pytest.approx(expected, abs=TOL)
             assert row.logspace == pytest.approx(expected, abs=1e-9)
+
+
+def test_attribute_score_col_matches_scalar(spark):
+    """The JVM Column form of A4 must agree with the reference-exact
+    Python scalar form across the JobTest vector grid (incl. null
+    qualities, the 0.0 short-circuit, and base 0.0)."""
+    from pyspark.sql import functions as F
+
+    from zentity_spark.scoring import attribute_score_col
+
+    cases = [
+        (0.75, 1.00, 1.00), (0.75, 1.00, 0.00), (0.75, 0.90, 0.00),
+        (0.75, 0.00, 0.00), (0.75, 0.90, 0.80), (0.75, 0.80, 0.90),
+        (0.75, 0.90, None), (0.75, None, 0.8), (0.75, None, None),
+        (0.75, 0.625, 0.99), (0.87, 0.817, 0.93), (0.0, 0.9, 0.8),
+        (1.0, 0.5, None), (0.5, 0.5, 0.5),
+    ]
+    df = spark.createDataFrame(
+        [(i, b, m, f) for i, (b, m, f) in enumerate(cases)],
+        "i int, base double, mq double, fq double",
+    )
+    rows = (
+        df.select(
+            "i",
+            attribute_score_col(F.col("base"), F.col("mq"), F.col("fq")).alias("s"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for row, (b, m, f) in zip(rows, cases):
+        assert row.s == pytest.approx(attr_score(b, m, f), abs=TOL)

@@ -540,6 +540,54 @@ FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
 """
 
 
+def q_attribute_score_chain(spark, sf_dir):
+    """The full reference score chain in one plan — A4 per-value
+    attribute score (base 0.75, matcher quality 0.9+l_discount, field
+    quality 0.9+l_tax; Job.java:652-663), A6 best-per-attribute max
+    (attribute ≡ l_linestatus; Job.java:487-494 analog), A7 Bayesian
+    conflation per order (Job.java:608-640). Two groupBys, both with
+    map-side partial aggregation; no UDFs anywhere."""
+    from zentity_spark.scoring import attribute_score_col, composite_score_col
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linestatus",
+        attribute_score_col(
+            F.lit(0.75),
+            F.lit(0.9) + F.col("l_discount"),
+            F.lit(0.9) + F.col("l_tax"),
+        ).alias("a4"),
+    )
+    best = li.groupBy("l_orderkey", "l_linestatus").agg(F.max("a4").alias("best"))
+    return (
+        best.groupBy("l_orderkey")
+        .agg(F.collect_list("best").alias("scores"))
+        .select(
+            "l_orderkey",
+            F.round(composite_score_col(F.col("scores")), 6).alias("score"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+SQL_ATTRIBUTE_SCORE_CHAIN = """
+WITH a AS (
+  SELECT l_orderkey, l_linestatus,
+         ((s1 - 0.5) / s1) * ((s1 * fq) - s1) + s1 AS a4
+  FROM (
+    SELECT l_orderkey, l_linestatus,
+           CAST(0.9 AS DOUBLE) + l_tax AS fq,
+           ((CAST(0.75 AS DOUBLE) - 0.5) / 0.75)
+             * ((0.75 * (CAST(0.9 AS DOUBLE) + l_discount)) - 0.75) + 0.75 AS s1
+    FROM lineitem)
+), best AS (
+  SELECT l_orderkey, l_linestatus, max(a4) AS best FROM a GROUP BY 1, 2
+)
+SELECT l_orderkey,
+       round(exp(sum(ln(best))) / (exp(sum(ln(best))) + exp(sum(ln(1 - best)))), 6) AS score
+FROM best GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
 # ----------------------------------------------------------------------
 # Seeded hop traversal + scope + terms + weights (contract queries for
 # the operators previously evidenced only by pytest: J5, P11-P14, P7/P8,
@@ -1508,6 +1556,7 @@ def all_queries():
         "bfs_hops": q_bfs_hops,
         "cluster_sizes": q_cluster_sizes,
         "composite_score": q_composite_score,
+        "attribute_score_chain": q_attribute_score_chain,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "near_dup_pairs": q_near_dup_pairs,
@@ -1551,6 +1600,7 @@ def all_oracles():
         "bfs_hops": SQL_BFS_HOPS,
         "cluster_sizes": SQL_CLUSTER_SIZES,
         "composite_score": SQL_COMPOSITE_SCORE,
+        "attribute_score_chain": SQL_ATTRIBUTE_SCORE_CHAIN,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH,
         "near_dup_pairs": SQL_NEAR_DUP,

@@ -210,6 +210,20 @@ def score_pairs(pairs, conv_texts, id_l: str = "id_l", id_r: str = "id_r"):
 # ----------------------------------------------------------------------
 # Spark Column forms (vectorized, JVM-side — no Python in the hot path)
 
+def attribute_score_col(base: Column, *qualities: Column) -> Column:
+    """A4 (Job.java:652-663) as a Column expression: sequential quality
+    adjustments s' = ((s-0.5)/s)·(s·q - s) + s, null qualities skipped,
+    score 0.0 short-circuits (the reference's 0/0→NaN→0.0 path — guarded
+    explicitly because Spark ANSI mode raises on 0/0)."""
+    score = base
+    for q in qualities:
+        adjusted = ((score - F.lit(0.5)) / score) * ((score * q) - score) + score
+        score = F.when(q.isNull(), score).when(
+            score == F.lit(0.0), F.lit(0.0)
+        ).otherwise(adjusted)
+    return F.when(F.isnan(score), F.lit(0.0)).otherwise(score)
+
+
 def composite_score_col(scores_array: Column) -> Column:
     """Conflation of an array<double> column of attribute scores.
 
