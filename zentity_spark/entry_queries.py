@@ -1110,10 +1110,10 @@ def q_simhash(spark, sf_dir):
     )
 
 
-def _sql_simhash_bits():
+def _sql_simhash_bits(n_bits: int = 16):
     tok = "CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)"
     terms = []
-    for i in range(16):
+    for i in range(n_bits):
         terms.append(
             f"CASE WHEN list_sum(list_transform(words, w -> CASE WHEN ({tok} >> {i}) & 1 = 1"
             f" THEN 1 ELSE -1 END)) > 0 THEN {2**i} ELSE 0 END"
@@ -1129,22 +1129,25 @@ FROM w ORDER BY doc_id
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    """SimHash near-dup: banded hamming LSH (4 slices of a 16-bit
+    """SimHash near-dup: banded hamming LSH (4 slices of a 32-bit
     fingerprint; pigeonhole-complete for hamming <= 3) + exact
-    bit_count(xor) verify. Same capped+salted bucket join as blocking."""
+    bit_count(xor) verify. Same capped+salted bucket join as blocking.
+    32 bits (not the display query's 16) is the honest default: 8-bit
+    slices give 256 buckets/band and a hamming-3 threshold that means
+    'near-identical token set', not '64% of all pairs'."""
     from zentity_spark.extras import simhash_near_dup_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash_near_dup_pairs(
-        d, n_bits=16, bands=4, max_hamming=3
+        d, n_bits=32, bands=4, max_hamming=3
     ).orderBy("id_l", "id_r")
 
 
 SQL_SIMHASH_NEAR_DUP = f"""
 WITH w AS (SELECT doc_id, list_distinct({_SQL_WORDS}) AS words FROM documents),
-f AS (SELECT doc_id, CAST({_sql_simhash_bits()} AS BIGINT) AS fp FROM w),
+f AS (SELECT doc_id, CAST({_sql_simhash_bits(32)} AS BIGINT) AS fp FROM w),
 k AS (
-  SELECT doc_id, fp, b, (fp >> (b * 4)) & 15 AS slice
+  SELECT doc_id, fp, b, (fp >> (b * 8)) & 255 AS slice
   FROM f, unnest([0, 1, 2, 3]) AS t(b)
 ),
 cand AS (

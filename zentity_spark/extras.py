@@ -123,26 +123,55 @@ def near_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+_SIMHASH_UDFS: dict = {}
+
+
+def _simhash_udf(n_bits: int):
+    """Arrow-batched simhash over a pre-tokenized words column.
+
+    Semantics are EXACTLY the SQL-expressible definition (bit i = 1 iff
+    Σ_tokens ±1 by bit i of the first 32 bits of md5(token) > 0 — the
+    DuckDB oracle computes that form directly), but evaluated with ONE
+    md5 per token. The pure-expression form re-computes md5 inside every
+    bit's aggregate lambda — measured 19s for 270K tokens at n_bits=32
+    vs <1s here; Catalyst has no common-subexpression extraction across
+    independent HOF aggregates, so this is the rule-8 'flatten the
+    batch, hash once' case, not a premature UDF."""
+    if n_bits in _SIMHASH_UDFS:
+        return _SIMHASH_UDFS[n_bits]
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def f(words):
+        shifts = np.arange(n_bits, dtype=np.uint32)
+        out = np.zeros(len(words), dtype=np.int64)
+        for i, ws in enumerate(words):
+            if ws is None or len(ws) == 0:
+                continue
+            hs = np.fromiter(
+                (int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16) for w in ws),
+                dtype=np.uint32, count=len(ws),
+            )
+            bits = ((hs[:, None] >> shifts[None, :]) & 1).astype(np.int32)
+            sums = (2 * bits - 1).sum(axis=0)
+            out[i] = int(((sums > 0).astype(np.int64) << shifts.astype(np.int64)).sum())
+        return pd.Series(out)
+
+    udf = pandas_udf(f, "long")
+    _SIMHASH_UDFS[n_bits] = udf
+    return udf
+
+
 def sim_hash_expr(col: Column, n_bits: int = 16) -> Column:
-    """n_bits-bit SimHash as an integer column, fully expressible in SQL:
-    bit i of the fingerprint = 1 iff Σ_tokens (bit i of md5(token) ? 1 : -1) > 0."""
+    """n_bits-bit SimHash as an integer column: bit i of the fingerprint
+    = 1 iff Σ_tokens (bit i of md5(token) ? 1 : -1) > 0. Tokenization
+    (canonicalize → split → distinct) stays JVM-side; the hash/bit loop
+    runs in an Arrow-batched UDF (see _simhash_udf for why)."""
     words = F.array_distinct(F.split(canonical_text(col), " "))
-
-    def tok_hash(w):
-        return F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
-
-    def bit_merge(i):
-        # closure factory: a default-arg lambda would change the lambda's
-        # arity and break Spark's higher-order-function binding
-        return lambda acc, w: acc + F.when(
-            F.shiftright(tok_hash(w), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    fp = F.lit(0).cast("long")
-    for i in range(n_bits):
-        ssum = F.aggregate(words, F.lit(0), bit_merge(i))
-        fp = fp + F.when(ssum > 0, F.lit(2 ** i)).otherwise(F.lit(0))
-    return fp
+    return _simhash_udf(n_bits)(words)
 
 
 def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
