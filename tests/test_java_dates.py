@@ -152,3 +152,73 @@ def test_spark_side_literal_digit_format(spark):
     values = build_values(spark, turns, compile_model(m))
     [r] = values.collect()
     assert r["ts"] == pytest.approx(EPOCH_Y2K - 3)
+
+
+# ----------------------------------------------------------------------
+# Differential golden vectors, captured from real java.text.SimpleDateFormat
+# (OpenJDK 17, UTC, setLenient(false)) on 2026-08-17 — the authoritative
+# behavior the reference delegates to (Term.java:61-74, Query.java:77-130).
+
+JAVA_PARSE_GOLDEN = [
+    ("1999-12-31T23:59:57.000", "yyyy-MM-dd'T'HH:mm:ss.SSS", 946684797000),
+    ("1999-12-31T23:59:57.123abc", "yyyy-MM-dd'T'HH:mm:ss.SSS", 946684797123),
+    ("2000-2-3", "yyyy-MM-dd", 949536000000),       # greedy non-adjacent numerics
+    ("20000203", "yyyyMMdd", 949536000000),         # adjacent-numeric fixed widths
+    ("200023", "yyyyMMdd", None),
+    ("2000-13-01", "yyyy-MM-dd", None),             # non-lenient month
+    ("2000-12-32", "yyyy-MM-dd", None),
+    ("2001-02-29", "yyyy-MM-dd", None),             # non-leap Feb 29
+    ("12/31/1999 11:59 PM", "MM/dd/yyyy hh:mm a", 946684740000),
+    ("12/31/1999 12:00 AM", "MM/dd/yyyy hh:mm a", 946598400000),  # 12 AM = 00
+    ("12/31/1999 12:00 PM", "MM/dd/yyyy hh:mm a", 946641600000),  # 12 PM = 12
+    ("12/31/1999 00:00 AM", "MM/dd/yyyy hh:mm a", None),          # h is 1-12
+    ("2000-01-01 garbage", "yyyy-MM-dd", 946684800000),  # prefix parse
+    ("2000-01-01", "yyyy-MM-dd HH:mm:ss", None),         # truncated input
+    ("1999365", "yyyyDDD", 946598400000),                # day-of-year
+]
+
+JAVA_FORMAT_GOLDEN = [
+    (946684799123, "yyyy-MM-dd'T'HH:mm:ss.SSS", "1999-12-31T23:59:59.123"),
+    (946684799123, "yyyy-MM-dd'T'HH:mm:ss'.0000'", "1999-12-31T23:59:59.0000"),
+    (946684799123, "yy-M-d H:m:s", "99-12-31 23:59:59"),
+    (946684799123, "MM/dd/yyyy hh:mm a", "12/31/1999 11:59 PM"),
+    (946684799123, "yyyyyy-MM-dd", "001999-12-31"),   # width-padded year
+    (63113904000000, "yyyy-MM-dd", "3970-01-01"),
+    (946684799123, "S", "123"),
+    (946684799123, "SSSSS", "00123"),
+    (0, "G yyyy", "AD 1970"),
+]
+
+
+@pytest.mark.parametrize("s,fmt,expect_ms", JAVA_PARSE_GOLDEN)
+def test_java_differential_parse(s, fmt, expect_ms):
+    got = parse_java_date(s, fmt)
+    if expect_ms is None:
+        assert got is None
+    else:
+        assert got is not None and int(round(got * 1000)) == expect_ms
+
+
+@pytest.mark.parametrize("ms,fmt,expect", JAVA_FORMAT_GOLDEN)
+def test_java_differential_format(ms, fmt, expect):
+    assert format_java_date(ms / 1000.0, fmt) == expect
+
+
+def test_two_digit_year_window():
+    """SimpleDateFormat maps an exactly-two-digit year into the
+    [now-80y, now+20y] window (Java verified: '99-06-15' → 1999-06-15).
+    Window edges computed dynamically so the test outlives the decade."""
+    import datetime as _dt
+
+    now_year = _dt.datetime.now(_dt.timezone.utc).year
+    for yy in (0, 45, 46, 99):
+        got = parse_java_date(f"{yy:02d}-06-15", "yy-MM-dd")
+        assert got is not None
+        y = _dt.datetime.fromtimestamp(got, _dt.timezone.utc).year
+        assert now_year - 80 <= y <= now_year + 20
+        assert y % 100 == yy
+    # four digits against 'yy' parse literally (greedy), no windowing
+    got = parse_java_date("1999-06-15", "yy-MM-dd")
+    y = __import__("datetime").datetime.fromtimestamp(
+        got, __import__("datetime").timezone.utc).year
+    assert y == 1999

@@ -135,12 +135,27 @@ def parse_java_date(s: str, fmt: str) -> float | None:
             if j == pos:
                 return None
         val = int(s[pos:j])
+        if letter == "y" and len(payload) <= 2 and j - pos == 2:
+            # SimpleDateFormat two-digit-year window: exactly two digits
+            # against a 'y'/'yy' pattern resolve to [now-80y, now+20y]
+            # (GregorianCalendar default century window; the reference
+            # constructs its SDF at query time, so "now" is run time)
+            now_year = datetime.datetime.now(_UTC).year
+            start = now_year - 80
+            val = start + (val - start % 100) % 100
         fields[letter] = val
         pos = j
     # non-lenient range checks + calendar assembly
     year = fields.get("y", 1970)
     month = fields.get("M", 1)
     day = fields.get("d", 1)
+    if "D" in fields and "M" not in fields and "d" not in fields:
+        doy = fields["D"]
+        leap = year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)
+        if not (1 <= doy <= (366 if leap else 365)):
+            return None
+        d0 = datetime.date(year, 1, 1) + datetime.timedelta(days=doy - 1)
+        month, day = d0.month, d0.day
     hour = fields.get("H", 0)
     if "h" in fields:
         h12 = fields["h"]
@@ -197,6 +212,8 @@ def format_java_date(epoch_secs: float, fmt: str) -> str:
             out.append(str(dt.second).zfill(width))
         elif letter == "S":
             out.append(str(dt.microsecond // 1000).zfill(width))
+        elif letter == "D":
+            out.append(str(dt.timetuple().tm_yday).zfill(width))
         elif letter == "a":
             out.append("PM" if dt.hour >= 12 else "AM")
         elif letter == "G":
