@@ -309,3 +309,37 @@ def test_query_audit_log(spark, turns):
     assert mdf.count() == len(log)
     assert mdf.columns == ["run_id", "hop", "query", "index", "resolvers",
                            "term_resolvers", "seed_ids", "hits"]
+
+
+SCOPE_EXCL_INCL = {
+    "exclude": {"attributes": {"attribute_c": ["c_00", "c_01"]}},
+    "include": {
+        "attributes": {
+            "attribute_d": ["d_00"],
+            "attribute_type.number.double": [3.141592653589793],
+        },
+        "indices": ["zentity_test_index_a", "zentity_test_index_b",
+                    "zentity_test_index_c", "zentity_test_index_d"],
+        "resolvers": ["resolver_a", "resolver_b", "resolver_c"],
+    },
+}
+
+
+def test_job_scope_exclude_and_include_attributes(spark, turns):
+    """ResolutionActionIT.java:1352-1365: include keeps the d_00/pi
+    holders, exclude then drops the c_00/c_01 holders — 4 docs, hop 0."""
+    hits = resolve(
+        spark, turns, model_a(),
+        Input(attributes={"attribute_d": ["d_00"]}, scope=SCOPE_EXCL_INCL),
+    )
+    assert hits_set(hits) == {("a2", 0), ("b2", 0), ("c2", 0), ("d2", 0)}
+
+
+def test_job_scope_exclude_and_include_attributes_terms(spark, turns):
+    """ResolutionActionIT.java:1368-1382: same combined scope with an
+    untyped term seed instead of typed attributes — identical 4 docs."""
+    hits = resolve(
+        spark, turns, model_a(),
+        Input(terms=["d_00"], scope=SCOPE_EXCL_INCL),
+    )
+    assert hits_set(hits) == {("a2", 0), ("b2", 0), ("c2", 0), ("d2", 0)}
