@@ -167,12 +167,14 @@ QUERY_SUBSET = [
     "connected_components",
     "bfs_hops",
     "composite_score",
+    "attribute_score_chain",
     "dedup_exact",
     "minhash_signatures",
     "simhash_near_dup",
     "embedding_near_dup",
     "ann_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_quality",
     "sessionize",
 ]
