@@ -1,0 +1,93 @@
+"""Real stdlib media decoding in the multimodal plumbing: handcrafted
+PNG/GIF/JPEG/PPM headers and a genuine WAV (written by the `wave`
+module) must decode to their true dimensions/frames; unknown payloads
+keep the clearly-marked deterministic fake; stub=False raises for
+codec-requiring payloads."""
+
+import io
+import struct
+import wave
+
+import pytest
+
+from zentity_spark.extras import decode_media_batches, sniff_decode
+
+
+def png(w, h):
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\x00" * 16)
+
+
+def gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 16
+
+
+def jpeg(w, h):
+    # SOI, APP0 (len 16), SOF0 (len 11: precision + h + w + 1 component)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def ppm(w, h):
+    return (f"P6\n# comment\n{w} {h}\n255\n".encode()
+            + bytes(range(min(w * h * 3, 32))))
+
+
+def wav(rate, channels, frames):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"\x10\x00" * frames * channels)
+    return buf.getvalue()
+
+
+def test_sniff_decode_real_formats():
+    assert sniff_decode(png(640, 480))[:3] == (640, 480, 1)
+    assert sniff_decode(gif(320, 200))[:3] == (320, 200, 1)
+    assert sniff_decode(jpeg(800, 600))[:3] == (800, 600, 1)
+    assert sniff_decode(ppm(12, 7))[:3] == (12, 7, 1)
+    w, c, nf, feats = sniff_decode(wav(16000, 2, 100))
+    assert (w, c, nf) == (16000, 2, 100)
+    assert len(feats) == 8 and all(-1.0 <= f <= 1.0 for f in feats)
+    assert sniff_decode(b"just some text payload") is None
+    assert sniff_decode(b"P6 garbage") is None  # non-integer dims -> not PPM
+
+
+def test_decode_media_batches_mixed(spark):
+    rows = [
+        (0, "image", png(640, 480), "{}"),
+        (1, "image", gif(320, 200), "{}"),
+        (2, "image", jpeg(800, 600), "{}"),
+        (3, "image", ppm(12, 7), "{}"),
+        (4, "audio", wav(16000, 2, 100), "{}"),
+        (5, "image", b"opaque-needs-codec", "{}"),
+        (6, "image", None, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    )
+    got = {r["media_id"]: r for r in decode_media_batches(df).collect()}
+    assert (got[0]["width"], got[0]["height"]) == (640, 480)
+    assert (got[1]["width"], got[1]["height"]) == (320, 200)
+    assert (got[2]["width"], got[2]["height"]) == (800, 600)
+    assert (got[3]["width"], got[3]["height"]) == (12, 7)
+    assert (got[4]["width"], got[4]["height"], got[4]["n_frames"]) == (16000, 2, 100)
+    # unknown format: deterministic fake dims from payload length
+    n = len(b"opaque-needs-codec")
+    assert (got[5]["width"], got[5]["height"]) == ((n % 64) * 16 + 16, (n % 48) * 16 + 16)
+    assert (got[6]["width"], got[6]["height"]) == (0, 0)
+
+
+def test_stub_false_raises_for_codec_payloads(spark):
+    df = spark.createDataFrame(
+        [(0, "video", b"\x00\x00\x00 ftypisom-needs-ffmpeg", "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)):
+        decode_media_batches(df, stub=False).collect()

@@ -1420,10 +1420,13 @@ FROM g ORDER BY doc_id, fingerprint
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """Multimodal plumbing: binary payload column → mapInPandas decode
-    (STUBBED deterministic fake — no image libs in container; schema,
-    Arrow batching and partitioning are real). Oracle checks the
-    deterministic dims derived from payload byte length."""
+    """Multimodal plumbing: binary payload column → mapInPandas decode.
+    PNG/GIF/JPEG/PPM/WAV payloads are REALLY decoded via stdlib header/
+    sample parsing (extras.sniff_decode, pytest-verified on genuine
+    payloads); other formats fall back to a clearly-marked deterministic
+    fake (no PIL/ffmpeg in container). This query feeds text payloads —
+    no stdlib magic matches (verified across SFs) — so the oracle checks
+    the deterministic fallback dims derived from payload byte length."""
     from zentity_spark.extras import decode_media_batches
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -689,40 +689,126 @@ MULTIMODAL_SCHEMA = (
 )
 
 
+def sniff_decode(p: bytes):
+    """Pure-stdlib media decode: → (width, height, n_frames, feature) or
+    None when the format needs an external codec.
+
+    Really decoded (no PIL/ffmpeg required):
+    - PNG: IHDR width/height (big-endian at offset 16)
+    - GIF87a/89a: logical-screen width/height (little-endian at 6)
+    - JPEG: first SOF0-SOF15 frame header scan
+    - PPM/PGM (P5/P6): ASCII header; feature = first 8 raw pixel bytes
+    - WAV: stdlib `wave` — (sample_rate, channels, n_frames); feature =
+      first 8 samples normalized to [-1, 1]
+    """
+    import struct
+
+    if len(p) < 10:
+        return None
+    if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
+        w, h = struct.unpack(">II", p[16:24])
+        return w, h, 1, [float(b) / 255.0 for b in p[24:32]]
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", p[6:10])
+        return w, h, 1, [float(b) / 255.0 for b in p[10:18]]
+    if p[:2] == b"\xff\xd8":  # JPEG: scan markers for a start-of-frame
+        i = 2
+        while i + 9 < len(p):
+            if p[i] != 0xFF:
+                return None
+            marker = p[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", p[i + 5:i + 9])
+                return w, h, 1, [float(b) / 255.0 for b in p[i + 9:i + 17]]
+            i += 2 + struct.unpack(">H", p[i + 2:i + 4])[0]
+        return None
+    if p[:2] in (b"P5", b"P6"):  # PGM/PPM: ASCII header, '#' comments
+        toks: list[bytes] = []
+        i = 2
+        while len(toks) < 3 and i < len(p):
+            while i < len(p) and p[i:i + 1].isspace():
+                i += 1
+            if p[i:i + 1] == b"#":
+                while i < len(p) and p[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(p) and not p[j:j + 1].isspace():
+                j += 1
+            toks.append(p[i:j])
+            i = j
+        try:
+            w, h = int(toks[0]), int(toks[1])
+        except (ValueError, IndexError):
+            return None
+        return w, h, 1, [float(b) / 255.0 for b in p[i + 1:i + 9]]
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(p)) as wf:
+                nf = wf.getnframes()
+                raw = wf.readframes(min(8, nf))
+                sw = wf.getsampwidth()
+                feats = []
+                for k in range(0, min(len(raw), 8 * sw), sw):
+                    v = int.from_bytes(raw[k:k + sw], "little",
+                                       signed=(sw > 1))
+                    feats.append(v / float(2 ** (8 * sw - 1)))
+                return wf.getframerate(), wf.getnchannels(), nf, feats
+        except (wave.Error, EOFError):
+            return None
+    return None
+
+
 def decode_media_batches(media: DataFrame, stub: bool = True) -> DataFrame:
     """mapInPandas plumbing for opaque binary media columns.
 
     Input schema: (media_id long, kind string, payload binary, meta string).
-    Real pipelines plug PIL/ffmpeg into `_decode`; this container has
-    neither, so the decode is a DETERMINISTIC FAKE derived from the
-    payload bytes (clearly marked). Batch shape, Arrow transfer,
-    partitioning, and output schema are real.
+    Formats with stdlib-parseable structure are REALLY decoded
+    (sniff_decode: PNG/GIF/JPEG/PPM/PGM headers, WAV via `wave` — for
+    audio, width=sample_rate, height=channels, n_frames=frames).
+    Payloads needing an external codec fall back to a DETERMINISTIC FAKE
+    derived from the payload bytes (clearly marked — this container has
+    no PIL/ffmpeg); with stub=False they raise instead. Batch shape,
+    Arrow transfer, partitioning, and output schema are real either way.
     """
 
     def decode(iterator):
         import pandas as pd
 
         for pdf in iterator:
-            if not stub:  # pragma: no cover
-                raise NotImplementedError("real media decoding requires PIL/ffmpeg")
-            n = len(pdf)
-            out = pd.DataFrame(
+            widths, heights, frames, feats = [], [], [], []
+            for p in pdf["payload"]:
+                got = sniff_decode(p) if p is not None else None
+                if got is not None:
+                    w, h, nf, fv = got
+                elif p is None:
+                    w, h, nf, fv = 0, 0, 1, []
+                elif not stub:
+                    raise NotImplementedError(
+                        "payload format requires an external codec (PIL/ffmpeg)"
+                    )
+                else:
+                    # deterministic fake: dimensions from payload bytes
+                    w = (len(p) % 64) * 16 + 16
+                    h = (len(p) % 48) * 16 + 16
+                    nf = 1
+                    fv = [float(b) / 255.0 for b in p[:8]]
+                widths.append(w)
+                heights.append(h)
+                frames.append(nf)
+                feats.append(fv)
+            yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    # deterministic fake decode: dimensions from payload bytes
-                    "width": [
-                        (len(p) % 64) * 16 + 16 if p is not None else 0 for p in pdf["payload"]
-                    ],
-                    "height": [
-                        (len(p) % 48) * 16 + 16 if p is not None else 0 for p in pdf["payload"]
-                    ],
-                    "n_frames": [1] * n,
-                    "feature": [
-                        [float(b) / 255.0 for b in (p or b"")[:8]] for p in pdf["payload"]
-                    ],
+                    "width": widths,
+                    "height": heights,
+                    "n_frames": frames,
+                    "feature": feats,
                 }
             )
-            yield out
 
     return media.mapInPandas(decode, MULTIMODAL_SCHEMA)
