@@ -223,6 +223,80 @@ def q_pairs_levenshtein(spark, sf_dir):
     )
 
 
+def q_blocking_quality(spark, sf_dir):
+    """Blocking-scheme evaluation, the standard record-linkage metrics:
+    REDUCTION RATIO (1 - candidates/all-pairs) and PAIRS COMPLETENESS
+    (share of true lev<=1 pairs the blocking retains), computed for the
+    deletion-neighborhood scheme against the brute-force O(n²) truth.
+    Deletion-neighborhood blocking is lossless for k=1 by construction,
+    so completeness must be exactly 1.0 — the query PROVES it per
+    dataset rather than asserting it. One output row."""
+    from zentity_spark.transcripts import _deletion_keys
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[^a-zA-Z0-9]", "").alias("norm"),
+    )
+    keyed = c.select(
+        "c_custkey", F.explode(_deletion_keys(F.col("norm"))).alias("k")
+    )
+    cand = (
+        keyed.alias("l").join(keyed.alias("r"), F.col("l.k") == F.col("r.k"))
+        .where(F.col("l.c_custkey") < F.col("r.c_custkey"))
+        .select(F.col("l.c_custkey").alias("key_l"), F.col("r.c_custkey").alias("key_r"))
+        .dropDuplicates(["key_l", "key_r"])
+    )
+    truth = (
+        c.alias("l").join(c.alias("r"), F.col("l.c_custkey") < F.col("r.c_custkey"))
+        .where(F.levenshtein(F.col("l.norm"), F.col("r.norm")) <= 1)
+        .select(F.col("l.c_custkey").alias("key_l"), F.col("r.c_custkey").alias("key_r"))
+    )
+    n = c.count()
+    all_pairs = n * (n - 1) // 2
+    n_cand = cand.count()
+    n_truth = truth.count()
+    n_found = cand.join(truth, ["key_l", "key_r"]).count()
+    return spark.createDataFrame(
+        [(n, all_pairs, n_cand,
+          round(1.0 - n_cand / all_pairs, 6), n_truth, n_found,
+          round(n_found / n_truth, 6) if n_truth else 1.0)],
+        "n_records long, all_pairs long, candidates long, reduction_ratio double,"
+        " truth_pairs long, found_pairs long, completeness double",
+    )
+
+
+SQL_BLOCKING_QUALITY = """
+WITH n AS (
+  SELECT c_custkey, regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g') AS norm
+  FROM customer
+), k AS (
+  SELECT c_custkey,
+         unnest(list_prepend('d:' || norm,
+           list_transform(generate_series(1, greatest(strlen(norm), 1)),
+             i -> 'd:' || substr(norm, 1, i - 1) || substr(norm, i + 1)))) AS k
+  FROM n
+), cand AS (
+  SELECT DISTINCT l.c_custkey AS key_l, r.c_custkey AS key_r
+  FROM k l JOIN k r ON l.k = r.k WHERE l.c_custkey < r.c_custkey
+), truth AS (
+  SELECT l.c_custkey AS key_l, r.c_custkey AS key_r
+  FROM n l JOIN n r ON l.c_custkey < r.c_custkey
+  WHERE levenshtein(l.norm, r.norm) <= 1
+), stats AS (
+  SELECT (SELECT count(*) FROM n) AS n_records,
+         (SELECT count(*) FROM cand) AS candidates,
+         (SELECT count(*) FROM truth) AS truth_pairs,
+         (SELECT count(*) FROM cand JOIN truth USING (key_l, key_r)) AS found_pairs
+)
+SELECT n_records, n_records * (n_records - 1) // 2 AS all_pairs, candidates,
+       round(1.0 - CAST(candidates AS DOUBLE) / (n_records * (n_records - 1) // 2), 6) AS reduction_ratio,
+       truth_pairs, found_pairs,
+       CASE WHEN truth_pairs = 0 THEN 1.0
+            ELSE round(CAST(found_pairs AS DOUBLE) / truth_pairs, 6) END AS completeness
+FROM stats
+"""
+
+
 SQL_PAIRS_LEVENSHTEIN = """
 WITH n AS (
   SELECT c_custkey, regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g') AS norm
@@ -1547,6 +1621,7 @@ def all_queries():
         "blocking_keys": q_blocking_keys,
         "candidate_pairs": q_candidate_pairs,
         "pairs_levenshtein": q_pairs_levenshtein,
+        "blocking_quality": q_blocking_quality,
         "pairs_jaro_winkler": q_pairs_jaro_winkler,
         "soundex_codes": q_soundex_codes,
         "pairs_date_window": q_pairs_date_window,
@@ -1591,6 +1666,7 @@ def all_oracles():
         "blocking_keys": SQL_BLOCKING_KEYS,
         "candidate_pairs": SQL_CANDIDATE_PAIRS,
         "pairs_levenshtein": SQL_PAIRS_LEVENSHTEIN,
+        "blocking_quality": SQL_BLOCKING_QUALITY,
         "pairs_jaro_winkler": SQL_PAIRS_JARO_WINKLER,
         "soundex_codes": SQL_SOUNDEX,
         "pairs_date_window": SQL_PAIRS_DATE_WINDOW,
