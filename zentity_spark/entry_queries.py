@@ -436,6 +436,56 @@ WHERE abs(l.tsd - r.tsd) <= 1.0
 """
 
 
+def q_date_parse_chain(spark, sf_dir):
+    """F3: the declared-format date chain (Input.java:380-420 merged
+    format > trial-parse fallback, Query.java:77-130 reformat semantics).
+
+    Derives per-row string dates from `orders.o_orderdate` in four
+    encodings chosen by o_orderkey % 4 — two declared SimpleDateFormat
+    patterns, epoch_millis, and an ISO-T string with NO declared format
+    (exercising the trial chain) — then parses them back through the
+    engine's `declared_format_ts`. Every branch must recover the
+    original instant."""
+    from zentity_spark.transcripts import declared_format_ts
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = (F.col("o_orderkey") % 4).alias("k")
+    raw = (
+        F.when(k == 0, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .when(k == 1, F.date_format("o_orderdate", "MM/dd/yyyy HH:mm:ss"))
+        .when(
+            k == 2,
+            (F.col("o_orderdate").cast("timestamp").cast("double") * 1000)
+            .cast("long").cast("string"),
+        )
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"))
+    )
+    fmt = (
+        F.when(k == 0, F.lit("yyyy-MM-dd HH:mm:ss"))
+        .when(k == 1, F.lit("MM/dd/yyyy HH:mm:ss"))
+        .when(k == 2, F.lit("epoch_millis"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    parsed = o.select(
+        "o_orderkey",
+        raw.alias("raw"),
+        F.round(declared_format_ts(raw, fmt), 3).alias("ts"),
+    )
+    return parsed.orderBy("o_orderkey")
+
+
+SQL_DATE_PARSE_CHAIN = """
+WITH o AS (SELECT o_orderkey, o_orderdate, o_orderkey % 4 AS k FROM orders)
+SELECT o_orderkey,
+       CASE k WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+              WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y %H:%M:%S')
+              WHEN 2 THEN CAST(CAST(epoch(o_orderdate) * 1000 AS BIGINT) AS VARCHAR)
+              ELSE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') END AS raw,
+       round(epoch(o_orderdate), 3) AS ts
+FROM o ORDER BY o_orderkey
+"""
+
+
 def q_scored_pairs(spark, sf_dir):
     """Scored-pairs artifact (A4-A7 analog + north-star pairwise
     scoring): JW / Levenshtein-prefix / token-Jaccard features per
@@ -819,6 +869,70 @@ TERM_MODEL = {
         }
     },
 }
+
+
+def q_incremental_linkage(spark, sf_dir):
+    """Streaming foreachBatch incremental linkage (streaming.py
+    incremental_resolve) converges to the BATCH clustering: the sparse
+    error-transcript corpus arrives as three micro-batch files
+    (maxFilesPerTrigger=1, whole conversations per batch), each batch is
+    blocked new×accumulated and re-clustered, and the FINAL clusters
+    snapshot must equal connected components over the record↔value
+    graph — the DuckDB recursive-CTE oracle. This is the strongest
+    check the streaming surface admits: end-state equivalence with the
+    declarative batch semantics, independent of batch arrival order."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from zentity_spark.model import Model
+    from zentity_spark.storage import SnapshotStore
+    from zentity_spark.streaming import incremental_resolve, read_turn_stream
+
+    turns = transcripts_from_events_sparse(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    tmp = tempfile.mkdtemp(prefix="zentity_inc_linkage_")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    # three micro-batch files, whole conversations per file (split key =
+    # conv_id) so arrival order permutes conversations, not turns
+    for i in range(3):
+        part_dir = os.path.join(tmp, f"part{i}")
+        turns.where(F.crc32(F.col("conv_id")) % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        (src,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        shutil.move(src, os.path.join(in_dir, f"batch{i}.parquet"))
+    stream = read_turn_stream(spark, in_dir, max_files_per_trigger=1)
+    q = incremental_resolve(
+        spark,
+        stream,
+        Model(SEEDED_MODEL),
+        os.path.join(tmp, "out"),
+        checkpoint_dir=os.path.join(tmp, "ck"),
+    )
+    q.awaitTermination()
+    clusters = SnapshotStore(os.path.join(tmp, "out")).read(spark, "clusters")
+    return clusters.select(
+        F.col("record_id").alias("conv_id"), "cluster_id"
+    ).orderBy("conv_id")
+
+
+SQL_INCREMENTAL_LINKAGE = f"""
+WITH RECURSIVE {SQL_SPARSE_ERROR_VALUES},
+sym AS (
+  SELECT a.conv_id AS src, b.conv_id AS dst
+  FROM v a JOIN v b ON a.value = b.value
+),
+reach(node, r) AS (
+  SELECT conv_id, conv_id FROM v
+  UNION
+  SELECT sym.src, reach.r FROM sym JOIN reach ON sym.dst = reach.node
+)
+SELECT node AS conv_id, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY conv_id
+"""
 
 
 def q_term_coercion(spark, sf_dir):
@@ -1625,10 +1739,12 @@ def all_queries():
         "pairs_jaro_winkler": q_pairs_jaro_winkler,
         "soundex_codes": q_soundex_codes,
         "pairs_date_window": q_pairs_date_window,
+        "date_parse_chain": q_date_parse_chain,
         "scored_pairs": q_scored_pairs,
         "seeded_bfs": q_seeded_bfs,
         "seeded_scope_exclude": q_seeded_scope_exclude,
         "seeded_scope_include": q_seeded_scope_include,
+        "incremental_linkage": q_incremental_linkage,
         "term_coercion": q_term_coercion,
         "weight_gating": q_weight_gating,
         "per_field_or": q_per_field_or,
@@ -1670,10 +1786,12 @@ def all_oracles():
         "pairs_jaro_winkler": SQL_PAIRS_JARO_WINKLER,
         "soundex_codes": SQL_SOUNDEX,
         "pairs_date_window": SQL_PAIRS_DATE_WINDOW,
+        "date_parse_chain": SQL_DATE_PARSE_CHAIN,
         "scored_pairs": SQL_SCORED_PAIRS,
         "seeded_bfs": SQL_SEEDED_BFS,
         "seeded_scope_exclude": SQL_SEEDED_SCOPE_EXCLUDE,
         "seeded_scope_include": SQL_SEEDED_SCOPE_INCLUDE,
+        "incremental_linkage": SQL_INCREMENTAL_LINKAGE,
         "term_coercion": SQL_TERM_COERCION,
         "weight_gating": SQL_WEIGHT_GATING,
         "per_field_or": SQL_PER_FIELD_OR,

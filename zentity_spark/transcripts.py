@@ -210,6 +210,27 @@ def build_values(spark: SparkSession, turns: DataFrame, compiled: CompiledModel,
     return values_from_parsed(spark, parse_turns(turns), compiled, physical_paths)
 
 
+def declared_format_ts(raw: Column, fmt: Column) -> Column:
+    """F3 date chain, Spark side: parse `raw` with the field's declared
+    Java format first, falling back to the trial-format chain.
+
+    `fmt` is the already-merged input > model-attribute > matcher
+    `params.format` (Input.java:380-420 availability walk, done by
+    CompiledModel.mapping_rows). epoch_millis / epoch_second are handled
+    explicitly; any other pattern goes to `try_to_timestamp`, whose
+    DateTimeFormatter accepts the same y/M/d/H/m/s/S + quoted-literal
+    subset java_dates whitelists driver-side. → epoch seconds (double)."""
+    fmt_ts = F.coalesce(
+        F.when(fmt == "epoch_millis", raw.try_cast("double") / 1000.0),
+        F.when(fmt == "epoch_second", raw.try_cast("double")),
+        F.when(
+            fmt.isNotNull() & ~fmt.isin("epoch_millis", "epoch_second"),
+            F.try_to_timestamp(raw, fmt).cast("double"),
+        ),
+    )
+    return F.coalesce(fmt_ts, parse_ts(raw))
+
+
 def values_from_parsed(spark: SparkSession, parsed: DataFrame,
                        compiled: CompiledModel,
                        physical_paths: dict | None = None) -> DataFrame:
@@ -231,20 +252,9 @@ def values_from_parsed(spark: SparkSession, parsed: DataFrame,
         F.col("raw").isNotNull() & (F.col("raw") != "") & (F.col("raw") != "null")
     ).join(F.broadcast(mapping), ["source", "path"], "inner")
 
-    # the field's declared Java format first (DateTimeFormatter accepts
-    # the same y/M/d/H/m/s/S + quoted-literal subset; epoch_millis /
-    # epoch_second handled explicitly), then the trial-format chain
-    fmt = F.col("date_fmt")
-    fmt_ts = F.coalesce(
-        F.when(fmt == "epoch_millis", F.col("raw").try_cast("double") / 1000.0),
-        F.when(fmt == "epoch_second", F.col("raw").try_cast("double")),
-        F.when(
-            fmt.isNotNull() & ~fmt.isin("epoch_millis", "epoch_second"),
-            F.try_to_timestamp(F.col("raw"), fmt).cast("double"),
-        ),
-    )
     ts = F.when(
-        F.col("attr_type") == "date", F.coalesce(fmt_ts, parse_ts(F.col("raw")))
+        F.col("attr_type") == "date",
+        declared_format_ts(F.col("raw"), F.col("date_fmt")),
     ).otherwise(F.lit(None).cast("double"))
     return (
         joined.withColumn("ts", ts)
