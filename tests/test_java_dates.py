@@ -222,3 +222,32 @@ def test_two_digit_year_window():
     y = __import__("datetime").datetime.fromtimestamp(
         got, __import__("datetime").timezone.utc).year
     assert y == 1999
+
+
+def test_declared_format_ts_branches(spark):
+    """Spark-side F3 chain (transcripts.declared_format_ts): the
+    epoch_second branch and the trial-chain fallback when the declared
+    format does not match the raw string — neither is exercised by the
+    date_parse_chain contract query (which covers declared patterns,
+    epoch_millis, and no-format trial parsing)."""
+    from pyspark.sql import functions as F
+
+    from zentity_spark.transcripts import declared_format_ts
+
+    df = spark.createDataFrame(
+        [
+            ("864777600", "epoch_second", 864777600.0),
+            # declared format wrong for the raw string -> trial chain
+            ("1997-05-28 00:00:00", "MM/dd/yyyy", 864777600.0),
+            ("not a date", None, None),
+        ],
+        "raw string, fmt string, expect double",
+    )
+    rows = df.select(
+        "expect", declared_format_ts(F.col("raw"), F.col("fmt")).alias("ts")
+    ).collect()
+    for r in rows:
+        if r["expect"] is None:
+            assert r["ts"] is None
+        else:
+            assert abs(r["ts"] - r["expect"]) < 1e-6
