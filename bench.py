@@ -162,6 +162,7 @@ QUERY_SUBSET = [
     "candidate_pairs",
     "pairs_levenshtein",
     "pairs_jaro_winkler",
+    "date_parse_chain",
     # scored_pairs is exercised inside the headline resolve_all (the
     # sf0.1 events-derived pair set alone is ~0.9M pairs / ~2 min)
     "connected_components",
