@@ -35,7 +35,11 @@ def test_store_crud(tmp_path):
     assert list(store.get_all()) == ["person"]
     store.delete("person")
     assert not store.exists("person")
-    with pytest.raises(ValidationException):
+    # missing entity type is the 404 taxonomy with the reference's
+    # quoted-name message (ResolutionAction.java:102)
+    from zentity_spark.errors import NotFoundException
+
+    with pytest.raises(NotFoundException, match="Entity type 'person' not found."):
         store.delete("person")
 
 

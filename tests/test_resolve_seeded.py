@@ -84,6 +84,56 @@ def test_job_attributes_ids(spark, turns):
     assert hits_set(hits) == expected
 
 
+def test_job_terms_ids(spark, turns):
+    """ResolutionActionIT.java testJobTermsIds: term seed + id seed —
+    same 30-doc closure as attributes+ids (the term routes to every
+    string attribute)."""
+    hits = resolve(
+        spark, turns, model_a(),
+        Input(
+            terms=["a_00"],
+            ids={"zentity_test_index_a": ["a6"]},
+            scope=SCOPE_ABC,
+        ),
+    )
+    expected = (
+        {("a0", 0), ("a6", 0), ("b0", 0)}
+        | {(d, 1) for d in ["a2", "a7", "a8", "a9", "b2", "b6", "b7", "b8", "b9",
+                            "c0", "c2", "c6", "c7", "c8", "c9"]}
+        | {(d, 2) for d in ["a1", "a3", "a4", "a5", "b3", "b4", "b5", "c3", "c4", "c5"]}
+        | {("b1", 3), ("c1", 4)}
+    )
+    assert hits_set(hits) == expected
+
+
+def test_job_data_types_date_term(spark, turns):
+    """ResolutionActionIT.java testJobDataTypesDateTerm: the date value
+    arrives as an untyped TERM; the declared per-attribute params
+    (format + window) must route and coerce it — same 13-doc closure as
+    the attribute-seeded variant."""
+    hits = resolve(
+        spark, turns, model_a(),
+        Input(
+            attributes={
+                "attribute_type.date": {
+                    "params": {"format": "yyyy-MM-dd HH:mm:ss", "window": "1s"},
+                },
+            },
+            terms=["d_00", "2000-01-01 00:00:00"],
+            scope={"include": {"resolvers": [
+                "resolver_type_date_a", "resolver_type_date_b",
+                "resolver_type_date_c"]}},
+        ),
+        SeededConfig(max_hops=2, max_docs_per_query=2),
+    )
+    expected = (
+        {(d, 0) for d in ["a1", "a2", "b0", "c0", "d0", "d1"]}
+        | {(d, 1) for d in ["a3", "b3", "c1", "d2"]}
+        | {(d, 2) for d in ["b1", "c3", "d3"]}
+    )
+    assert hits_set(hits) == expected
+
+
 def test_job_max_hops_and_docs(spark, turns):
     """ResolutionActionIT.java:934-965: per-query doc cap truncates
     lowest-id-first; hop cap stops traversal."""

@@ -78,7 +78,17 @@ def main(argv=None):
 
     spark = _spark(f"zentity-spark-{args.cmd}")
     turns = spark.read.format(args.input_format).load(args.input)
-    model = load_model(args.model)
+    try:
+        model = load_model(args.model)
+    except Exception as e:  # noqa: BLE001 — request-level error envelope
+        # a job that cannot even be built gets the ES RestResponse-style
+        # body with an HTTP status (testInvalidJob* semantics), not the
+        # job envelope
+        from zentity_spark.envelope import request_error_json
+
+        print(request_error_json(e))
+        spark.stop()
+        sys.exit(1)
 
     if args.cmd == "batch":
         from zentity_spark.pipeline import ResolutionConfig, resolve_all_checkpointed

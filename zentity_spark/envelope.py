@@ -162,10 +162,17 @@ def serialize_exception(e: Exception, include_trace: bool = True) -> str:
     """Inner error fields (Job.java:139-153 serializeException). by =
     'zentity' for engine-raised errors (ZentityError taxonomy), else
     'elasticsearch' — the execution-engine slot, held by Spark here."""
-    from zentity_spark.errors import ValidationException, ZentityError
+    from zentity_spark.errors import (
+        NotFoundException,
+        ValidationException,
+        ZentityError,
+    )
 
     if isinstance(e, ValidationException):
         jtype = "io.zentity.model.ValidationException"
+        by = "zentity"
+    elif isinstance(e, NotFoundException):
+        jtype = "org.elasticsearch.plugin.zentity.NotFoundException"
         by = "zentity"
     elif isinstance(e, ZentityError):
         jtype = f"zentity_spark.errors.{type(e).__name__}"
@@ -182,6 +189,41 @@ def serialize_exception(e: Exception, include_trace: bool = True) -> str:
         tb = f"{jtype}: {e}\n" + "".join(traceback.format_exception(e))
         parts.append(f"\"stack_trace\":{json.dumps(tb, ensure_ascii=False)}")
     return ",".join(parts)
+
+
+def es_error_type(e: Exception) -> str:
+    """Elasticsearch's exception-name convention
+    (ElasticsearchException.getExceptionName): CamelCase class name →
+    snake_case, keeping a trailing 'Exception' as '_exception' (e.g.
+    ValidationException → validation_exception)."""
+    name = type(e).__name__
+    out = []
+    for i, ch in enumerate(name):
+        if ch.isupper() and i > 0:
+            out.append("_")
+        out.append(ch.lower())
+    return "".join(out)
+
+
+def request_error_json(e: Exception, status: int | None = None) -> str:
+    """REQUEST-level error body — what the reference returns when a job
+    could not even be built (invalid model, unknown entity type):
+    Elasticsearch's RestResponse serialization,
+    `{"error":{"root_cause":[...],"type":"validation_exception",
+    "reason":"..."},"status":400}` — asserted by the testInvalidJob*
+    cases (ResolutionActionIT.java:1636-1784). Distinct from the
+    JOB-level envelope (serialize_exception), which uses canonical Java
+    class names and carries took/hits."""
+    etype = es_error_type(e)
+    if status is None:
+        status = getattr(e, "status", 500)
+    reason = json.dumps(str(e), ensure_ascii=False)
+    cause = f"{{\"type\":{json.dumps(etype)},\"reason\":{reason}}}"
+    return (
+        "{" + f"\"error\":{{\"root_cause\":[{cause}],"
+        f"\"type\":{json.dumps(etype)},\"reason\":{reason}}},"
+        f"\"status\":{status}" + "}"
+    )
 
 
 def _query_json(entry: dict, model) -> str:
@@ -246,7 +288,14 @@ def resolve_response(
         hits = resolve(spark, turns, model, input, config, _capture=capture)
     except Exception as e:  # noqa: BLE001 — error envelope is the contract
         took = int((time.time() - t0) * 1000)
-        return "{" + f"\"took\":{took},\"error\":{{{serialize_exception(e, include_error_trace)}}}" + "}"
+        # Job.response() emits `hits` even on failure when includeHits
+        # (Job.java:1179-1191): took, error, then the empty hits object
+        hits_part = ",\"hits\":{\"total\":0,\"hits\":[]}" if include_hits else ""
+        return (
+            "{" + f"\"took\":{took},"
+            f"\"error\":{{{serialize_exception(e, include_error_trace)}}}"
+            + hits_part + "}"
+        )
     compiled = capture["compiled"]
     values_df = capture["values_df"]
 

@@ -13,11 +13,22 @@ class ZentityError(Exception):
     """Engine-side failure (reference: errors reported with by=zentity)."""
 
     by = "zentity"
+    status = 500  # REST status the reference maps this class to
 
 
 class ValidationException(ZentityError):
     """Invalid entity model or resolution input.
 
     Reference: io.zentity.common.ValidationException — raised throughout
-    io.zentity.model.* and io.zentity.resolution.input.* parsing.
+    io.zentity.model.* and io.zentity.resolution.input.* parsing;
+    mapped to 400 by ZentityPlugin.sendResponseError.
     """
+
+    status = 400
+
+
+class NotFoundException(ZentityError):
+    """Unknown entity type (ZentityPlugin.java:52-56; mapped to 404 by
+    sendResponseError; raised at ResolutionAction.java:102)."""
+
+    status = 404

@@ -202,10 +202,17 @@ class IndexField:
         if not isinstance(name, str) or name == "":
             raise ValidationException(f"'indices.{index_name}.fields' has an empty field name.")
         spec = _require_object(spec, f"indices.{index_name}.fields.{name}")
+        if "attribute" not in spec:
+            # IndexField.java:173 — required-field walk message
+            raise ValidationException(
+                f"'indices.{index_name}.fields.{name}' is missing required"
+                " field 'attribute'."
+            )
         attribute = spec.get("attribute")
         if not isinstance(attribute, str) or attribute == "":
+            # IndexField.java:131
             raise ValidationException(
-                f"'indices.{index_name}.fields.{name}.attribute' is required."
+                f"'indices.{index_name}.fields.{name}.attribute' must not be empty."
             )
         matcher = spec.get("matcher", None)
         if matcher is not None and (not isinstance(matcher, str) or matcher == ""):
@@ -245,9 +252,17 @@ class Index:
         if not isinstance(name, str) or name == "":
             raise ValidationException("'indices' has an empty index name.")
         spec = _require_object(spec, f"indices.{name}")
+        if "fields" not in spec:
+            # Index.java:166 — required-field walk message
+            raise ValidationException(
+                f"'indices.{name}' is missing required field 'fields'."
+            )
         fields_spec = spec.get("fields")
         if not isinstance(fields_spec, dict) or not fields_spec:
-            raise ValidationException(f"'indices.{name}.fields' must be a non-empty object.")
+            # Index.java:113
+            raise ValidationException(
+                f"'indices.{name}.fields' must not be empty in the entity model."
+            )
         fields = {
             fname: IndexField.parse(name, fname, fspec)
             for fname, fspec in sorted(fields_spec.items())

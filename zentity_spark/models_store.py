@@ -22,7 +22,7 @@ from __future__ import annotations
 import json
 import os
 
-from zentity_spark.errors import ValidationException
+from zentity_spark.errors import NotFoundException, ValidationException
 from zentity_spark.model import Model, validate_strict_name
 
 
@@ -44,7 +44,7 @@ class ModelStore:
     def get(self, entity_type: str) -> Model:
         path = self._path(entity_type)
         if not os.path.exists(path):
-            raise ValidationException(f"Entity type [{entity_type}] not found.")
+            raise NotFoundException(f"Entity type '{entity_type}' not found.")
         with open(path) as fh:
             return Model(json.load(fh))
 
@@ -78,7 +78,7 @@ class ModelStore:
     def delete(self, entity_type: str) -> None:
         path = self._path(entity_type)
         if not os.path.exists(path):
-            raise ValidationException(f"Entity type [{entity_type}] not found.")
+            raise NotFoundException(f"Entity type '{entity_type}' not found.")
         os.remove(path)
 
     @staticmethod

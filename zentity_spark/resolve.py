@@ -97,7 +97,9 @@ class Input:
     def attr_values(self) -> dict[str, list]:
         out = {}
         for name, spec in self.attributes.items():
-            out[name] = spec["values"] if isinstance(spec, dict) else list(spec)
+            # a dict entry may carry only params (values then arrive via
+            # terms routing — TEST_PAYLOAD_JOB_DATA_TYPES_DATE_TERMS)
+            out[name] = spec.get("values", []) if isinstance(spec, dict) else list(spec)
         return out
 
     def attr_params(self) -> dict[str, dict]:
