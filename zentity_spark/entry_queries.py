@@ -1537,6 +1537,64 @@ FROM w ORDER BY doc_id
 """
 
 
+def q_repetition_metrics(spark, sf_dir):
+    """Gopher-style within-doc repetition quality signals
+    (extras.repetition_metrics): duplicate-line fraction/char-fraction
+    and top word-bigram char coverage — the standard pretraining
+    repetition filters, computed via explode → two-level keyed
+    aggregation (linear, doc-hash-partitioned at any corpus size)."""
+    from zentity_spark.extras import repetition_metrics
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_metrics(d).orderBy("doc_id")
+
+
+SQL_REPETITION_METRICS = f"""
+WITH ln AS (
+  SELECT doc_id, trim(l) AS line
+  FROM documents, unnest(string_split(text, chr(10))) AS t(l)
+  WHERE length(trim(l)) > 0
+), per_line AS (
+  SELECT doc_id, line, count(*) AS c FROM ln GROUP BY doc_id, line
+), line_agg AS (
+  SELECT doc_id,
+         sum(c) AS n_lines,
+         count(*) AS n_distinct_lines,
+         sum(c * strlen(line)) AS line_chars,
+         sum(CASE WHEN c > 1 THEN c * strlen(line) ELSE 0 END) AS dup_line_chars
+  FROM per_line GROUP BY doc_id
+), w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words, strlen({_SQL_CANON}) AS canon_chars
+  FROM documents
+), bg AS (
+  SELECT doc_id, b
+  FROM w, unnest(CASE WHEN len(words) >= 2 THEN
+         list_transform(generate_series(1, len(words) - 1),
+                        i -> words[i] || ' ' || words[i + 1])
+         ELSE [] END) AS t(b)
+), per_bg AS (
+  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+), bg_agg AS (
+  SELECT doc_id,
+         max(CASE WHEN c > 1 THEN c * strlen(b) ELSE 0 END) AS top_bigram_chars
+  FROM per_bg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(la.n_lines, 0) AS BIGINT) AS n_lines,
+       round(CAST(coalesce(la.n_lines, 0) - coalesce(la.n_distinct_lines, 0) AS DOUBLE)
+             / greatest(coalesce(la.n_lines, 0), 1), 6) AS dup_line_frac,
+       round(CAST(coalesce(la.dup_line_chars, 0) AS DOUBLE)
+             / greatest(coalesce(la.line_chars, 0), 1), 6) AS dup_line_char_frac,
+       round(CAST(coalesce(ba.top_bigram_chars, 0) AS DOUBLE)
+             / greatest(w.canon_chars, 1), 6) AS top_bigram_char_frac
+FROM documents d
+JOIN w ON w.doc_id = d.doc_id
+LEFT JOIN line_agg la ON la.doc_id = d.doc_id
+LEFT JOIN bg_agg ba ON ba.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_language_id(spark, sf_dir):
     from zentity_spark.extras import language_id
 
@@ -1765,6 +1823,7 @@ def all_queries():
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "text_quality": q_text_quality,
+        "repetition_metrics": q_repetition_metrics,
         "language_id": q_language_id,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
@@ -1812,6 +1871,7 @@ def all_oracles():
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "text_quality": SQL_TEXT_QUALITY,
+        "repetition_metrics": SQL_REPETITION_METRICS,
         "language_id": _sql_language_id(),
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprints": SQL_FINGERPRINTS,

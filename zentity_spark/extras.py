@@ -104,8 +104,15 @@ def near_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         .select(F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"))
         .distinct()
     )
+    # verify carries per-doc shingle SETS through two joins; hashing
+    # each shingle to int64 (xxhash64) keeps Jaccard identical (set
+    # cardinalities survive hashing; a collision needs ~2^32 distinct
+    # shingles per doc) while cutting the shuffled array width ~3-5×
+    # vs raw k-word strings — the arrays are the dominant bytes of this
+    # stage at corpus scale
     sets = docs.select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
+        F.col(id_col).alias("doc_id"),
+        F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("sh"),
     )
     return (
         cand.join(sets.withColumnRenamed("doc_id", "id_l").withColumnRenamed("sh", "sh_l"), "id_l")
@@ -613,6 +620,86 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.when(best.getField("hits") > 0, best.getField("lang"))
         .otherwise(F.lit("unknown"))
         .alias("pred_lang"),
+    )
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals, the standard
+    pretraining quality filters (Rae et al. 2021 §A1.1, public):
+
+    - ``dup_line_frac``      — fraction of (trimmed, non-empty) lines
+      whose content occurs more than once in the doc, counting every
+      occurrence beyond the first: (n_lines − n_distinct_lines)/n_lines.
+    - ``dup_line_char_frac`` — characters inside ALL occurrences of
+      repeated lines / characters inside all lines.
+    - ``top_bigram_char_frac`` — characters covered by the most
+      repetition-heavy word 2-gram (occurrences × bigram length, only
+      when it occurs >1×) / canonical-text length.
+
+    Plan shape: repeated content is counted via explode → two-level
+    aggregation — partial map-side (doc_id, line|bigram) counts, then a
+    per-doc rollup — NOT per-row O(L²) array HOFs (the fingerprints
+    Catalyst-inlining lesson, PLANS.md): both shuffles are keyed by
+    doc_id+content with map-side combine, so the stage stays linear in
+    corpus size and partitions by doc hash at any scale."""
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    ln = d.select("doc_id", F.explode(lines).alias("line"))
+    per_line = ln.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    line_agg = per_line.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.count("*").alias("n_distinct_lines"),
+        F.sum(F.col("c") * F.length("line")).alias("line_chars"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(F.lit(0))
+        ).alias("dup_line_chars"),
+    )
+
+    words = F.split(canonical_text(F.col("text")), " ")
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    per_bg = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    bg_agg = per_bg.groupBy("doc_id").agg(
+        F.max(
+            F.when(F.col("c") > 1, F.col("c") * F.length("bigram")).otherwise(F.lit(0))
+        ).alias("top_bigram_chars"),
+    )
+
+    return (
+        d.select("doc_id", F.length(canonical_text(F.col("text"))).alias("canon_chars"))
+        .join(line_agg, "doc_id", "left")
+        .join(bg_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.round(
+                (F.coalesce("n_lines", F.lit(0)) - F.coalesce("n_distinct_lines", F.lit(0)))
+                / F.greatest(F.coalesce("n_lines", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.coalesce("dup_line_chars", F.lit(0))
+                / F.greatest(F.coalesce("line_chars", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_line_char_frac"),
+            F.round(
+                F.coalesce("top_bigram_chars", F.lit(0))
+                / F.greatest(F.col("canon_chars"), F.lit(1)),
+                6,
+            ).alias("top_bigram_char_frac"),
+        )
     )
 
 
