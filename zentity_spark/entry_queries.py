@@ -1603,23 +1603,27 @@ def q_language_id(spark, sf_dir):
 
 
 def _sql_language_id() -> str:
-    markers = {
-        "de": ["der", "und", "das", "ist"],
-        "en": ["the", "and", "of", "is"],
-        "es": ["el", "y", "la", "es"],
-        "fr": ["le", "et", "la", "est"],
-    }
+    # single source of truth: the oracle mirrors the engine's own
+    # marker/script tables (extras._LANG_MARKERS / _LANG_SCRIPTS)
+    from zentity_spark.extras import _LANG_MARKERS, _LANG_SCRIPTS
+
     hits = {
         lang: (
             "list_sum(list_transform(words, x -> CASE WHEN x IN ("
             + ",".join(f"'{m}'" for m in ms)
             + ") THEN 1 ELSE 0 END))"
         )
-        for lang, ms in markers.items()
+        for lang, ms in _LANG_MARKERS.items()
     }
+    # script score: characters (length(), not strlen() — bytes) inside
+    # the script's unicode range(s)
+    hits.update({
+        lang: f"length(text) - length(regexp_replace(text, '[{rng}]', '', 'g'))"
+        for lang, rng in _LANG_SCRIPTS.items()
+    })
     structs = ", ".join(f"{{'hits': {h}, 'lang': '{lang}'}}" for lang, h in sorted(hits.items()))
     return f"""
-WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+WITH w AS (SELECT doc_id, text, {_SQL_WORDS} AS words FROM documents),
 s AS (SELECT doc_id, list_max([{structs}]) AS best FROM w)
 SELECT doc_id, CASE WHEN best['hits'] > 0 THEN best['lang'] ELSE 'unknown' END AS pred_lang
 FROM s ORDER BY doc_id

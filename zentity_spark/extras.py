@@ -566,11 +566,39 @@ def ann_topk_ivf(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
 # Text analysis
 
 STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+# Latin-script languages: distinctive high-frequency function words
+# (marker hit count = language score). Overlapping closed-class words
+# (de/du/la/...) are avoided where a distinctive alternative exists;
+# ties break deterministically (alphabetically last language wins).
 _LANG_MARKERS = {
     "en": ["the", "and", "of", "is"],
     "de": ["der", "und", "das", "ist"],
     "fr": ["le", "et", "la", "est"],
     "es": ["el", "y", "la", "es"],
+    "it": ["il", "che", "di", "per"],
+    "pt": ["o", "que", "de", "não"],
+    "nl": ["de", "het", "een", "niet"],
+    "sv": ["och", "att", "det", "är"],
+    "pl": ["nie", "się", "jest", "oraz"],
+    "tr": ["bir", "ve", "bu", "için"],
+    "id": ["yang", "dan", "di", "untuk"],
+    "vi": ["và", "của", "là", "không"],
+}
+
+# Non-Latin scripts: score = count of characters in the script's BMP
+# range(s) — a handful of native characters outvotes any Latin marker
+# list. Known limit (documented, heuristic): kanji-only Japanese counts
+# as zh because Han characters are shared; kana decides ja.
+_LANG_SCRIPTS = {
+    "ru": "Ѐ-ӿ",                  # Cyrillic
+    "el": "Ͱ-Ͽ",                  # Greek
+    "he": "֐-׿",                  # Hebrew
+    "ar": "؀-ۿ",                  # Arabic
+    "hi": "ऀ-ॿ",                  # Devanagari
+    "th": "฀-๿",                  # Thai
+    "ko": "가-힯ᄀ-ᇿ",     # Hangul syllables + jamo
+    "ja": "぀-ゟ゠-ヿ",     # Hiragana + Katakana
+    "zh": "一-鿿",                  # CJK Unified (Han)
 }
 
 
@@ -598,9 +626,14 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """N-gram/stopword-heuristic language ID: argmax over per-language
-    marker-token hit counts, deterministic tie-break by language code."""
+    """Heuristic language ID, argmax over per-language scores:
+    marker-function-word hit counts for the 12 Latin-script languages
+    (_LANG_MARKERS) plus per-script character counts for the 9 non-Latin
+    scripts (_LANG_SCRIPTS — a few native characters outvote any marker
+    list). Deterministic tie-break by language code (alphabetically last
+    wins via struct ordering). Pure column expressions — no UDF."""
     words = F.split(canonical_text(F.col(text_col)), " ")
+    txt = F.col(text_col)
 
     def hits_merge(markers):
         return lambda acc, w: acc + F.when(w.isin(markers), F.lit(1)).otherwise(F.lit(0))
@@ -611,6 +644,13 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             F.lit(lang).alias("lang"),
         )
         for lang, ms in sorted(_LANG_MARKERS.items())
+    ] + [
+        F.struct(
+            (F.length(txt) - F.length(F.regexp_replace(txt, f"[{rng}]", "")))
+            .cast("int").alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, rng in sorted(_LANG_SCRIPTS.items())
     ]
     # argmax by (hits, lang) — deterministic tie-break: alphabetically
     # last language wins (struct ordering)
