@@ -177,6 +177,7 @@ QUERY_SUBSET = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "text_quality",
+    "repetition_metrics",
     "sessionize",
 ]
 

@@ -140,7 +140,12 @@ class ModelStore:
                 merged = {**(default_params or {}), **params}
                 entity_type = merged.get("entity_type")
                 if not entity_type:
-                    raise ValidationException("Entity type must be specified.")
+                    # per-action message parity (ModelsAction.java:356,417,477)
+                    verb = {"create": "indexing", "update": "updating",
+                            "delete": "deleting"}[action]
+                    raise ValidationException(
+                        f"Entity type must be specified when {verb} an entity model."
+                    )
                 spec = json.loads(model_line)
                 if action == "create":
                     self.create(entity_type, spec)
