@@ -81,3 +81,14 @@ def test_cli_batch(setup, tmp_path, capsys):
     obj = json.loads(capsys.readouterr().out.strip())
     assert obj["stages"]["clusters"]["rows"] > 0
     assert os.path.isdir(os.path.join(out_root, "clusters"))
+
+
+def test_cli_home(capsys):
+    """`home` prints the HomeAction metadata body (HomeActionIT.java:34-56
+    field assertions) without starting a Spark session."""
+    cli.main(["home"])
+    obj = json.loads(capsys.readouterr().out)
+    assert obj["name"] == "zentity_spark"
+    assert obj["description"]
+    assert obj["website"]
+    assert set(obj["version"]) == {"zentity_spark", "spark"}

@@ -24,10 +24,35 @@ from zentity_spark.scoring import (
 
 __version__ = "0.1.0"
 
+
+def plugin_info() -> dict:
+    """The Home-action body (`GET _zentity`, HomeAction.java:50-67):
+    name/description/website plus a version object naming the engine
+    release and the execution-engine release — the reference reports its
+    Elasticsearch version in that second slot; here the execution engine
+    is Spark."""
+    import pyspark
+
+    return {
+        "name": "zentity_spark",
+        "description": (
+            "Entity resolution (record linkage) for multi-turn transcript"
+            " tables: model-driven blocking, pairwise matcher scoring, and"
+            " transitive clustering on Apache Spark."
+        ),
+        "website": "https://zentity.io",
+        "version": {
+            "zentity_spark": __version__,
+            "spark": pyspark.__version__,
+        },
+    }
+
+
 __all__ = [
     "Model",
     "ValidationException",
     "ZentityError",
     "attribute_identity_confidence_score",
     "composite_identity_confidence_score",
+    "plugin_info",
 ]

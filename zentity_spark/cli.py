@@ -55,6 +55,9 @@ def main(argv=None):
     b.add_argument("--score-pairs", action="store_true",
                    help="also commit the scored-pairs similarity-feature stage")
 
+    h = sub.add_parser("home", help="engine metadata (the GET _zentity body)")
+    h.add_argument("--pretty", action="store_true")
+
     r = sub.add_parser("resolve", help="seeded single-entity resolution")
     r.add_argument("--model", required=True)
     r.add_argument("--input", required=True)
@@ -74,6 +77,14 @@ def main(argv=None):
     r.add_argument("--pretty", action="store_true")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "home":
+        # no Spark session needed — pure metadata (HomeAction.java:50-67)
+        from zentity_spark import plugin_info
+
+        print(json.dumps(plugin_info(), indent=2 if args.pretty else None))
+        return
+
     from zentity_spark.model import load_model
 
     spark = _spark(f"zentity-spark-{args.cmd}")
