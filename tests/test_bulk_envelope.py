@@ -229,3 +229,19 @@ def test_split_bulk_lines_parity():
     with pytest.raises(ValidationException) as exc:
         split_bulk_lines('{}\n{"a":1}\n{}')
     assert "repeating pairs of params and payloads" in str(exc.value)
+
+
+def test_setup_acknowledged_and_deconflict(tmp_path):
+    """SetupActionIT testSetupDefault/testSetupDeconflict: first setup
+    acknowledges; strict re-setup is the 400
+    resource_already_exists_exception."""
+    from zentity_spark.errors import ResourceAlreadyExistsException
+
+    s = ModelStore(str(tmp_path / "models"))
+    assert s.setup() == {"acknowledged": True}
+    assert s.setup() == {"acknowledged": True}  # idempotent by default
+    with pytest.raises(ResourceAlreadyExistsException) as exc:
+        s.setup(exist_ok=False)
+    body = json.loads(request_error_json(exc.value))
+    assert body["error"]["type"] == "resource_already_exists_exception"
+    assert body["status"] == 400

@@ -92,3 +92,33 @@ def test_cli_home(capsys):
     assert obj["description"]
     assert obj["website"]
     assert set(obj["version"]) == {"zentity_spark", "spark"}
+
+
+def test_cli_bulk(setup, tmp_path, capsys):
+    """`bulk` runs the NDJSON batch against a ModelStore and prints the
+    reference {took,errors,items} body with per-item error isolation."""
+    from zentity_spark.models_store import ModelStore
+
+    turns_path, model_path = setup
+    store_root = str(tmp_path / "models")
+    store = ModelStore(store_root)
+    store.setup()
+    store.create("arrays", MODEL)
+    body_path = str(tmp_path / "bulk.ndjson")
+    with open(body_path, "w") as fh:
+        fh.write("\n".join([
+            json.dumps({"entity_type": "arrays"}),
+            json.dumps({"attributes": {"string": ["abc"], "array": ["222"]}}),
+            json.dumps({"entity_type": "missing_type"}),
+            json.dumps({"attributes": {"string": ["abc"]}}),
+        ]))
+    cli.main([
+        "bulk", "--input", turns_path, "--body", body_path,
+        "--models-dir", store_root, "--no-source",
+    ])
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert obj["errors"] is True
+    ok, bad = obj["items"]
+    assert ok["hits"]["total"] == 2
+    assert bad["error"]["reason"] == "Entity type 'missing_type' not found."
+    assert bad["hits"] == {"total": 0, "hits": []}

@@ -76,6 +76,23 @@ def main(argv=None):
     r.add_argument("--no-error-trace", action="store_true", help="error_trace=false")
     r.add_argument("--pretty", action="store_true")
 
+    bk = sub.add_parser(
+        "bulk",
+        help="bulk seeded resolution (the POST _zentity/resolution/_bulk NDJSON body)",
+    )
+    bk.add_argument("--input", required=True)
+    bk.add_argument("--input-format", default="parquet")
+    bk.add_argument("--body", required=True,
+                    help="path to the NDJSON (params line, payload line) file")
+    bk.add_argument("--models-dir", default=None,
+                    help="ModelStore root for entity_type lookups")
+    bk.add_argument("--entity-type", default=None,
+                    help="URL-path default entity type")
+    bk.add_argument("--explanation", action="store_true", help="_explanation=true")
+    bk.add_argument("--no-source", action="store_true", help="_source=false")
+    bk.add_argument("--max-hops", type=int, default=100)
+    bk.add_argument("--max-docs-per-query", type=int, default=1000)
+
     args = p.parse_args(argv)
 
     if args.cmd == "home":
@@ -89,6 +106,31 @@ def main(argv=None):
 
     spark = _spark(f"zentity-spark-{args.cmd}")
     turns = spark.read.format(args.input_format).load(args.input)
+
+    if args.cmd == "bulk":
+        from zentity_spark.bulk import bulk_resolve_response
+        from zentity_spark.models_store import ModelStore
+
+        with open(args.body) as fh:
+            ndjson = fh.read()
+        print(
+            bulk_resolve_response(
+                spark,
+                turns,
+                ndjson,
+                model_store=ModelStore(args.models_dir) if args.models_dir else None,
+                default_entity_type=args.entity_type,
+                request_params={
+                    "_explanation": args.explanation,
+                    "_source": not args.no_source,
+                    "max_hops": args.max_hops,
+                    "max_docs_per_query": args.max_docs_per_query,
+                },
+            )
+        )
+        spark.stop()
+        return
+
     try:
         model = load_model(args.model)
     except Exception as e:  # noqa: BLE001 — request-level error envelope

@@ -32,3 +32,12 @@ class NotFoundException(ZentityError):
     sendResponseError; raised at ResolutionAction.java:102)."""
 
     status = 404
+
+
+class ResourceAlreadyExistsException(ZentityError):
+    """Store already set up — the reference surfaces Elasticsearch's
+    resource_already_exists_exception with 400 when `_setup` runs
+    against an existing .zentity-models index (SetupActionIT
+    testSetupDeconflict)."""
+
+    status = 400

@@ -30,9 +30,20 @@ class ModelStore:
     def __init__(self, root: str):
         self.root = root
 
-    def setup(self) -> None:
-        """SetupAction equivalent: create the store location."""
+    def setup(self, exist_ok: bool = True) -> dict:
+        """SetupAction equivalent: create the store location and return
+        the reference's `{"acknowledged": true}` body (SetupAction.java).
+        With exist_ok=False, re-setup against an existing store raises
+        the reference's conflict (resource_already_exists_exception,
+        400 — SetupActionIT testSetupDeconflict)."""
+        if not exist_ok and os.path.isdir(self.root):
+            from zentity_spark.errors import ResourceAlreadyExistsException
+
+            raise ResourceAlreadyExistsException(
+                f"index [{self.root}] already exists"
+            )
         os.makedirs(self.root, exist_ok=True)
+        return {"acknowledged": True}
 
     def _path(self, entity_type: str) -> str:
         validate_strict_name(entity_type)
