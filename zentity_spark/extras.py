@@ -689,14 +689,25 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text",
         F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l)),
         lambda l: F.length(l) > 0,
     )
-    ln = d.select("doc_id", F.explode(lines).alias("line"))
-    per_line = ln.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    # group on xxhash64(line), carrying the char length alongside: the
+    # occurrence-count shuffle moves an 8-byte key instead of the full
+    # line text (lines can be arbitrarily wide); identical counts modulo
+    # a ~2^-64 collision
+    ln = d.select(
+        "doc_id",
+        F.explode(lines).alias("line"),
+    ).select(
+        "doc_id", F.xxhash64("line").alias("lh"), F.length("line").alias("llen")
+    )
+    per_line = ln.groupBy("doc_id", "lh").agg(
+        F.count("*").alias("c"), F.first("llen").alias("llen")
+    )
     line_agg = per_line.groupBy("doc_id").agg(
         F.sum("c").alias("n_lines"),
         F.count("*").alias("n_distinct_lines"),
-        F.sum(F.col("c") * F.length("line")).alias("line_chars"),
+        F.sum(F.col("c") * F.col("llen")).alias("line_chars"),
         F.sum(
-            F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(F.lit(0))
+            F.when(F.col("c") > 1, F.col("c") * F.col("llen")).otherwise(F.lit(0))
         ).alias("dup_line_chars"),
     )
 
@@ -709,11 +720,15 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text",
             lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))
-    bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
-    per_bg = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    bg = d.select("doc_id", F.explode(bigrams).alias("bigram")).select(
+        "doc_id", F.xxhash64("bigram").alias("bh"), F.length("bigram").alias("blen")
+    )
+    per_bg = bg.groupBy("doc_id", "bh").agg(
+        F.count("*").alias("c"), F.first("blen").alias("blen")
+    )
     bg_agg = per_bg.groupBy("doc_id").agg(
         F.max(
-            F.when(F.col("c") > 1, F.col("c") * F.length("bigram")).otherwise(F.lit(0))
+            F.when(F.col("c") > 1, F.col("c") * F.col("blen")).otherwise(F.lit(0))
         ).alias("top_bigram_chars"),
     )
 
