@@ -50,3 +50,19 @@ def test_repetition_vectors(spark):
     assert d4["n_lines"] == 1
     assert d4["top_bigram_char_frac"] == 0.0
     assert d4["dup_line_char_frac"] == 0.0
+
+
+def test_paragraph_dedup_vectors(spark):
+    from zentity_spark.extras import paragraph_dedup
+
+    df = spark.createDataFrame([
+        (1, "shared para\n\nunique one"),
+        (2, "shared   PARA\n\n\nunique two"),   # canonicalizes equal
+        (3, "unique three"),
+    ], "doc_id long, text string")
+    rows = {(r["doc_id"], r["para_idx"]): r.asDict()
+            for r in paragraph_dedup(df).collect()}
+    assert rows[(1, 0)]["keep"] is True and rows[(1, 0)]["n_copies"] == 2
+    assert rows[(2, 0)]["keep"] is False and rows[(2, 0)]["n_copies"] == 2
+    assert rows[(1, 0)]["para_hash"] == rows[(2, 0)]["para_hash"]
+    assert all(rows[k]["keep"] for k in [(1, 1), (2, 1), (3, 0)])

@@ -1537,6 +1537,38 @@ FROM w ORDER BY doc_id
 """
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Cross-document paragraph-level exact dedup
+    (extras.paragraph_dedup): every paragraph occurrence marked kept iff
+    it is the minimum (doc_id, para_idx) of its duplicate group — one
+    md5-keyed shuffle, linear at corpus scale."""
+    from zentity_spark.extras import paragraph_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return paragraph_dedup(d).orderBy("doc_id", "para_idx")
+
+
+SQL_PARAGRAPH_DEDUP = r"""
+WITH raw AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split_regex(text, '\n\s*\n'),
+                          p -> trim(regexp_replace(lower(p), '\s+', ' ', 'g'))),
+           p -> length(p) >= 1) AS paras
+  FROM documents
+), occ AS (
+  SELECT doc_id, i - 1 AS para_idx, md5(paras[i]) AS para_hash
+  FROM raw, unnest(generate_series(1, len(paras))) AS t(i)
+)
+SELECT doc_id, CAST(para_idx AS INT) AS para_idx, para_hash,
+       count(*) OVER (PARTITION BY para_hash) AS n_copies,
+       (row_number() OVER (PARTITION BY para_hash ORDER BY doc_id, para_idx) = 1)
+         AS keep
+FROM occ
+ORDER BY doc_id, para_idx
+"""
+
+
 def q_repetition_metrics(spark, sf_dir):
     """Gopher-style within-doc repetition quality signals
     (extras.repetition_metrics): duplicate-line fraction/char-fraction
@@ -1827,6 +1859,7 @@ def all_queries():
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "text_quality": q_text_quality,
+        "paragraph_dedup": q_paragraph_dedup,
         "repetition_metrics": q_repetition_metrics,
         "language_id": q_language_id,
         "token_counts": q_token_counts,
@@ -1875,6 +1908,7 @@ def all_oracles():
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "text_quality": SQL_TEXT_QUALITY,
+        "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "repetition_metrics": SQL_REPETITION_METRICS,
         "language_id": _sql_language_id(),
         "token_counts": SQL_TOKEN_COUNTS,

@@ -50,6 +50,45 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", min_chars: int = 1) -> DataFrame:
+    """Cross-document PARAGRAPH-level exact dedup — the corpus-dedup
+    stage between doc-level exact dedup and near-dup (paragraph removal
+    à la C4/CCNet, public): split each doc on blank lines, canonicalize
+    each paragraph, and mark the global keeper of every duplicate group
+    as the minimum (doc_id, para_idx) occurrence.
+
+    Output: one row per paragraph occurrence —
+    (doc_id, para_idx, para_hash, n_copies, keep).
+
+    Plan shape: explode → ONE shuffle keyed by the paragraph's md5
+    (min_by struct aggregation, map-side partial) → broadcast-free
+    equi-join back on the hash. Linear in corpus size; the group key is
+    a 32-char digest, never paragraph text."""
+    paras = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"\n\s*\n"),
+            lambda p: F.trim(F.regexp_replace(F.lower(p), r"\s+", " ")),
+        ),
+        lambda p: F.length(p) >= min_chars,
+    )
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(paras).alias("para_idx", "para")
+    ).select("doc_id", "para_idx", F.md5("para").alias("para_hash"))
+    groups = occ.groupBy("para_hash").agg(
+        F.count("*").alias("n_copies"),
+        F.min(F.struct("doc_id", "para_idx")).alias("keeper"),
+    )
+    return occ.join(groups, "para_hash").select(
+        "doc_id", "para_idx", "para_hash",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        (
+            (F.col("keeper.doc_id") == F.col("doc_id"))
+            & (F.col("keeper.para_idx") == F.col("para_idx"))
+        ).alias("keep"),
+    )
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-shingles of canonicalized text (array<string>)."""
     words = F.split(canonical_text(col), " ")
