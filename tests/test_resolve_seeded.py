@@ -262,6 +262,33 @@ def test_job_scope_exclude_attributes(spark, turns):
     assert hits_set(hits) == expected
 
 
+def test_job_scope_exclude_attributes_terms(spark, turns):
+    """ResolutionActionIT.java:1284-1309: the same excluded-values scope
+    seeded by an untyped term instead of typed attributes — identical
+    16-doc expected set (term `a_00` routes to attribute_a via the
+    term→attribute coercion walk)."""
+    hits = resolve(
+        spark, turns, model_a(),
+        Input(
+            terms=["a_00"],
+            scope={
+                "exclude": {"attributes": {"attribute_a": ["a_11"], "attribute_c": ["c_03"]}},
+                "include": {
+                    "indices": ["zentity_test_index_a", "zentity_test_index_b",
+                                "zentity_test_index_c"],
+                    "resolvers": ["resolver_a", "resolver_b", "resolver_c"],
+                },
+            },
+        ),
+    )
+    expected = (
+        {("a0", 0), ("b0", 0)}
+        | {(d, 1) for d in ["a2", "b2", "c0", "c1", "c2"]}
+        | {(d, 2) for d in ["a3", "a4", "a5", "b3", "b4", "b5", "c3", "c4", "c5"]}
+    )
+    assert hits_set(hits) == expected
+
+
 def test_job_scope_include_attributes(spark, turns):
     """ResolutionActionIT.java:1315-1330: docs must hold one of the
     included attribute values (8 docs)."""
@@ -269,6 +296,30 @@ def test_job_scope_include_attributes(spark, turns):
         spark, turns, model_a(),
         Input(
             attributes={"attribute_d": ["d_00"]},
+            scope={
+                "include": {
+                    "attributes": {
+                        "attribute_d": ["d_00"],
+                        "attribute_type.number.double": [3.141592653589793],
+                    },
+                    "indices": ["zentity_test_index_a", "zentity_test_index_b",
+                                "zentity_test_index_c", "zentity_test_index_d"],
+                    "resolvers": ["resolver_a", "resolver_b", "resolver_c"],
+                },
+            },
+        ),
+    )
+    assert len(hits) == 8
+    assert {h.doc_id for h in hits if h.hop == 0} >= {"a0", "a2", "b0"}
+
+
+def test_job_scope_include_attributes_terms(spark, turns):
+    """ResolutionActionIT.java:1332-1349: the included-values scope
+    seeded by an untyped term — identical 8-doc expected set."""
+    hits = resolve(
+        spark, turns, model_a(),
+        Input(
+            terms=["d_00"],
             scope={
                 "include": {
                     "attributes": {
