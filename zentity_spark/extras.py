@@ -360,12 +360,70 @@ def lsh_bucket_expr(emb: Column, dim: int, n_planes: int = 8,
     return bucket
 
 
+def _plane_matrix(dim: int, n_planes: int, plane_offset: int = 0):
+    """The md5-derived hyperplane matrix (dim × n_planes), float64 —
+    the same plane[p][j] values as lsh_bucket_expr. Cached per Python
+    worker (a few KB; rebuilt at most once per (dim, planes) shape)."""
+    import functools
+    import hashlib
+
+    @functools.lru_cache(maxsize=16)
+    def build(d: int, n: int, off: int):
+        import numpy as np
+
+        m = np.empty((d, n), dtype="float64")
+        for i in range(n):
+            p = off + i
+            for j in range(d):
+                h = int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[:4], 16)
+                m[j, i] = float(h % 2001 - 1000)
+        return m
+
+    return build(dim, n_planes, plane_offset)
+
+
+def _banded_buckets_udf(dim: int, bands: int, planes_per_band: int):
+    """array<long> of per-band bucket ids for one embedding, computed as
+    ONE numpy matmul over the whole Arrow batch. Semantically identical
+    to lsh_bucket_expr per band (same planes, same sign→bit packing) but
+    ~100× cheaper to plan and run: the expression form inlines
+    bands×planes×dim (=thousands of) Catalyst terms, which costs tens of
+    seconds of codegen/eval per query — the same O(n²) HOF-inlining trap
+    PLANS.md documents for winnowing. (Accumulation order differs —
+    matmul vs left-to-right adds — which could flip the sign of a dot
+    product only within float rounding of exactly 0; oracle-checked in
+    CORRECTNESS.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    total = bands * planes_per_band
+
+    def f(embs):
+        import numpy as np
+        import pandas as pd
+
+        if len(embs) == 0:
+            return pd.Series([], dtype="object")
+        m = _plane_matrix(dim, total)
+        x = np.asarray([np.asarray(v, dtype="float64") for v in embs])
+        bits = (x @ m) > 0  # n × (bands·r)
+        w = np.left_shift(np.int64(1), np.arange(planes_per_band, dtype="int64"))
+        per_band = [
+            bits[:, b * planes_per_band:(b + 1) * planes_per_band].astype("int64") @ w
+            for b in range(bands)
+        ]
+        out = np.stack(per_band, axis=1)  # n × bands
+        return pd.Series(list(out))
+
+    return pandas_udf(f, "array<long>")
+
+
 def ann_lsh_buckets(embeddings: DataFrame, dim: int = 64, n_planes: int = 8) -> DataFrame:
     """Single-table hyperplane-LSH bucket per vector (the signature
     building block; the scale path composes BANDS of these — see
     banded_lsh_buckets)."""
+    udf = _banded_buckets_udf(dim, 1, n_planes)
     return embeddings.select(
-        "vec_id", "label", lsh_bucket_expr(F.col("embedding"), dim, n_planes).alias("bucket")
+        "vec_id", "label", F.element_at(udf(F.col("embedding")), 1).alias("bucket")
     )
 
 
@@ -375,21 +433,15 @@ def banded_lsh_buckets(embeddings: DataFrame, dim: int = 64, bands: int = 4,
     pattern of planes [b·r, (b+1)·r). Candidates share ANY band bucket —
     recall 1-(1-p^r)^b instead of the single-table p^r, while each
     band's bucket space (2^r) keeps buckets small. → (vec_id, band,
-    bucket)."""
-    parts = [
-        embeddings.select(
-            "vec_id",
-            F.lit(b).alias("band"),
-            lsh_bucket_expr(
-                F.col("embedding"), dim, planes_per_band, plane_offset=b * planes_per_band
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    bucket). One Arrow pass computes every band's bucket (no per-band
+    scan+union: the old form re-read the input `bands` times)."""
+    udf = _banded_buckets_udf(dim, bands, planes_per_band)
+    return embeddings.select(
+        "vec_id", udf(F.col("embedding")).alias("_buckets")
+    ).select(
+        "vec_id",
+        F.posexplode("_buckets").alias("band", "bucket"),
+    ).select("vec_id", F.col("band").cast("int").alias("band"), "bucket")
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame, dim: int = 64,
