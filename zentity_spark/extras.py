@@ -250,10 +250,15 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
 
     width = n_bits // bands
     mask = (1 << width) - 1
+    # fingerprint ONCE: fps feeds the banding scan and both verify-join
+    # sides — without the checkpoint each use re-runs the full text scan
+    # + tokenize + hash (3× the dominant cost; at corpus scale, 3 full
+    # passes over the text). The fingerprint table is two 8-byte columns
+    # per doc, the cheapest thing in the query to hold.
     fps = docs.select(
         F.col(id_col).alias("doc_id"),
         sim_hash_expr(F.col(text_col), n_bits).alias("fp"),
-    )
+    ).localCheckpoint(eager=False)
     blocks = fps.select(
         "doc_id",
         F.explode(
