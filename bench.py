@@ -233,29 +233,7 @@ def main():
     spark.stop()
 
     if os.environ.get("BENCH_SCALING") == "1":
-        probe = scaling_probe()
-        stamped = {**probe, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
-        # merge into the cache: keep the host-evidence history and the
-        # best verified window (this sandbox's capacity swings 2-3×
-        # between windows — BASELINE.md "Scaling re-measurement"), and
-        # promote the new probe to best_window when it wins
-        prior = {}
-        if os.path.exists(_SCALING_CACHE):
-            with open(_SCALING_CACHE) as fh:
-                prior = json.load(fh)
-        merged = {**prior, **stamped}
-        best = prior.get("best_window")
-        if "efficiency" in stamped and (
-            best is None or stamped["efficiency"] > best.get("efficiency", 0.0)
-        ):
-            merged["best_window"] = {
-                k: stamped[k]
-                for k in ("efficiency", "measured_at", *(f"throughput_local{n}" for n in probe.get("levels", [])))
-                if k in stamped
-            }
-        out["scaling"] = merged
-        with open(_SCALING_CACHE, "w") as fh:
-            json.dump(merged, fh)
+        out["scaling"] = merge_scaling_cache(scaling_probe())
     elif os.path.exists(_SCALING_CACHE):
         # attach the last measured scaling evidence, labeled as cached —
         # the probe takes ~40 min and is run explicitly (BENCH_SCALING=1;
@@ -267,6 +245,33 @@ def main():
 
 
 _SCALING_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+
+
+def merge_scaling_cache(probe: dict) -> dict:
+    """Merge a fresh probe into BENCH_SCALING.json: keep the
+    host-evidence history and the best verified window (this sandbox's
+    capacity swings 2-3× between windows — BASELINE.md "Scaling
+    re-measurement"), promote the new probe to best_window when it
+    wins, and return the merged record."""
+    stamped = {**probe, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    prior = {}
+    if os.path.exists(_SCALING_CACHE):
+        with open(_SCALING_CACHE) as fh:
+            prior = json.load(fh)
+    merged = {**prior, **stamped}
+    best = prior.get("best_window")
+    if "efficiency" in stamped and (
+        best is None or stamped["efficiency"] > best.get("efficiency", 0.0)
+    ):
+        merged["best_window"] = {
+            k: stamped[k]
+            for k in ("efficiency", "measured_at",
+                      *(f"throughput_local{n}" for n in probe.get("levels", [])))
+            if k in stamped
+        }
+    with open(_SCALING_CACHE, "w") as fh:
+        json.dump(merged, fh)
+    return merged
 
 
 def scaling_probe() -> dict:
