@@ -143,16 +143,25 @@ def ann_probe(spark, sf_dir: str) -> dict:
     # small probe fraction measures LSH concentration (recall ÷
     # probe_fraction ≫ 1), not absolute retrieval quality; real corpora
     # with cluster structure concentrate far harder.
+    topk_probe_fraction = round(probe / max(n - 1, 1), 6)
+    topk_recall = round(len(brute & bucketed) / 10, 3)
+    ivf_probe_fraction = round(ivf_probe / ivf_cents, 6)
+    ivf_recall = round(len(brute & ivf) / 10, 3)
     return {
         "vectors": n,
         "candidate_pairs": cand,
         "all_pairs": n * (n - 1) // 2,
         "candidate_fraction": round(cand / max(n * (n - 1) // 2, 1), 6),
-        "topk_probe_fraction": round(probe / max(n - 1, 1), 6),
-        "topk_recall_vs_bruteforce": round(len(brute & bucketed) / 10, 3),
+        "topk_probe_fraction": topk_probe_fraction,
+        "topk_recall_vs_bruteforce": topk_recall,
+        # enrichment = recall ÷ probe fraction: how much better the probe
+        # set concentrates true neighbors than a random scan of the same
+        # size (a random probe of fraction f has expected recall f)
+        "topk_enrichment_vs_random": round(topk_recall / max(topk_probe_fraction, 1e-9), 1),
         # IVF-flat path: scan-to-score fraction ≈ n_probe/n_centroids
-        "ivf_probe_fraction": round(ivf_probe / ivf_cents, 6),
-        "ivf_recall_vs_bruteforce": round(len(brute & ivf) / 10, 3),
+        "ivf_probe_fraction": ivf_probe_fraction,
+        "ivf_recall_vs_bruteforce": ivf_recall,
+        "ivf_enrichment_vs_random": round(ivf_recall / max(ivf_probe_fraction, 1e-9), 1),
     }
 
 

@@ -409,7 +409,8 @@ def test_query_audit_log(spark, turns):
     mdf = query_log_metrics(spark, log, "run1")
     assert mdf.count() == len(log)
     assert mdf.columns == ["run_id", "hop", "query", "index", "resolvers",
-                           "term_resolvers", "seed_ids", "hits"]
+                           "term_resolvers", "seed_ids", "hits", "timed_out"]
+    assert [r["timed_out"] for r in mdf.collect()] == [False] * len(log)
 
 
 SCOPE_EXCL_INCL = {

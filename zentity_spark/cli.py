@@ -68,6 +68,11 @@ def main(argv=None):
     r.add_argument("--scope", default="null")
     r.add_argument("--max-hops", type=int, default=100)
     r.add_argument("--max-docs-per-query", type=int, default=1000)
+    r.add_argument("--max-time-per-query", default=None,
+                   help="ES TimeValue per-query budget, e.g. '10s' (the "
+                        "reference's default; unset = no budget, since a "
+                        "batch query silently dropping docs on a slow "
+                        "host is data loss — opt in for ES parity)")
     # reference URL-param analogs (ResolutionAction.java params)
     r.add_argument("--score", action="store_true", help="_score=true")
     r.add_argument("--explanation", action="store_true", help="_explanation=true")
@@ -192,6 +197,7 @@ def main(argv=None):
                 SeededConfig(
                     max_hops=args.max_hops,
                     max_docs_per_query=args.max_docs_per_query,
+                    max_time_per_query=args.max_time_per_query,
                 ),
                 include_attributes=not args.no_attributes,
                 include_explanation=args.explanation or args.score,

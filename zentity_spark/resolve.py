@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import datetime
 import re
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -110,10 +111,99 @@ class Input:
         }
 
 
+_TIME_UNITS = {
+    "nanos": 1e-9, "micros": 1e-6, "ms": 1e-3,
+    "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0,
+}
+
+
+def parse_time_value(s: str | None) -> float | None:
+    """ES TimeValue grammar, as the reference applies to
+    max_time_per_query (Query.java:427-428 → TimeValue.parseTimeValue):
+    a number with a unit suffix in {d, h, m, s, ms, micros, nanos},
+    case-insensitive; the only unitless forms are "0" and "-1"
+    (-1 = no timeout). Returns seconds, or None for no-timeout."""
+    if s is None:
+        return None
+    v = str(s).strip().lower()
+    if v == "-1":
+        return None
+    if v == "0":
+        return 0.0
+    # order matters: multi-char suffixes before their 1-char tails
+    for unit in ("nanos", "micros", "ms", "d", "h", "m", "s"):
+        if v.endswith(unit):
+            num = v[: -len(unit)].strip()
+            try:
+                return float(num) * _TIME_UNITS[unit]
+            except ValueError:
+                break
+    raise ValidationException(
+        f"failed to parse setting [timeout] with value [{s}] as a time value:"
+        " unit is missing or unrecognized"
+    )
+
+
+def _collect_with_budget(df: DataFrame, budget_s: float | None, tag: str):
+    """Collect under a best-effort per-query time budget — the batch
+    analog of the reference's max_time_per_query search timeout
+    (Job.java:72 default "10s", applied at Query.java:427-428). ES
+    timeout semantics are best-effort early termination with PARTIAL
+    results; Spark's unit of cancellation is the job, and a cancelled
+    collect yields no rows — so a query that exceeds its budget
+    contributes ZERO hits (the closest faithful analog to a fully
+    timed-out shard set), the traversal continues, and the caller
+    records timed_out=true in the query audit log. Returns
+    (rows, timed_out). budget_s=None short-circuits to a plain collect
+    (no job tag, no timer — zero overhead on the default path)."""
+    if budget_s is None:
+        return df.collect(), False
+    sc = df.sparkSession.sparkContext
+    fired = threading.Event()
+    done = threading.Event()
+
+    def _watchdog():
+        # cancelJobsWithTag only hits ACTIVE jobs — a one-shot cancel
+        # races job submission (first-collect planning can take longer
+        # than the budget, and one action may submit several jobs, e.g.
+        # AQE stages). Keep cancelling until the collect thread returns.
+        if done.wait(budget_s):
+            return
+        fired.set()
+        while not done.wait(0.25):
+            sc.cancelJobsWithTag(tag)
+
+    sc.addJobTag(tag)
+    sc.setInterruptOnCancel(True)
+    watchdog = threading.Thread(target=_watchdog, daemon=True)
+    watchdog.start()
+    try:
+        rows = df.collect()
+        # the deadline may pass between job completion and here; a
+        # completed collect is a completed query (ES returns full
+        # results when they beat the timeout)
+        return rows, False
+    except Exception:
+        if fired.is_set():
+            return [], True
+        raise
+    finally:
+        done.set()
+        watchdog.join(timeout=1.0)
+        sc.removeJobTag(tag)
+
+
 @dataclass
 class SeededConfig:
     max_hops: int = 100            # Job.java:71
     max_docs_per_query: int = 1000  # Job.java:70
+    # Job.java:72 (reference default "10s", an interactive-search SLA).
+    # Batch default is None = no budget: a timed-out query silently
+    # dropping documents is data loss in a pipeline, so the SLA is
+    # opt-in here; when set, semantics mirror the ES search timeout
+    # (best-effort, partial results, audit-logged) via job-tag
+    # cancellation — see _collect_with_budget.
+    max_time_per_query: str | None = None
     include_score: bool = False
     include_explanation: bool = False
 
@@ -289,6 +379,7 @@ def resolve(
     count). There is no embedded ES request/response JSON to log — the
     engine runs DataFrame plans, not ES queries."""
     config = config or SeededConfig()
+    budget_s = parse_time_value(config.max_time_per_query)
     query_log: list[dict] = []
     model.prune(input.scope)
     compiled = compile_model(model, input.attr_params())
@@ -500,9 +591,12 @@ def resolve(
             if incl_ids is not None:
                 cand = cand.join(incl_ids.select("record_id"), "record_id", "left_semi")
 
-            # deterministic per-query doc cap (lowest record id first)
-            new_hits = (
-                cand.orderBy("record_id").limit(config.max_docs_per_query).collect()
+            # deterministic per-query doc cap (lowest record id first),
+            # collected under the per-query time budget (O9)
+            new_hits, timed_out = _collect_with_budget(
+                cand.orderBy("record_id").limit(config.max_docs_per_query),
+                budget_s,
+                f"zentity-seeded-h{hop}-q{qnum}-{index}",
             )
             query_log.append(
                 {
@@ -513,6 +607,7 @@ def resolve(
                     "term_resolvers": list(term_queryable),
                     "seed_ids": len(seeds),
                     "hits": len(new_hits),
+                    "timed_out": timed_out,
                 }
             )
             if not new_hits:

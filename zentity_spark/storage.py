@@ -116,12 +116,13 @@ def query_log_metrics(spark: SparkSession, query_log: list[dict],
             run_id, int(q["hop"]), int(q["query"]), q["index"],
             ",".join(q["resolvers"]), ",".join(q["term_resolvers"]),
             int(q.get("seed_ids", 0)), int(q["hits"]),
+            bool(q.get("timed_out", False)),
         )
         for q in query_log
     ]
     schema = (
         "run_id string, hop int, query int, index string, resolvers string,"
-        " term_resolvers string, seed_ids int, hits int"
+        " term_resolvers string, seed_ids int, hits int, timed_out boolean"
     )
     return spark.createDataFrame(rows, schema)
 
