@@ -245,3 +245,28 @@ def test_setup_acknowledged_and_deconflict(tmp_path):
     body = json.loads(request_error_json(exc.value))
     assert body["error"]["type"] == "resource_already_exists_exception"
     assert body["status"] == 400
+
+
+def test_bulk_max_time_per_query_param(spark, turns, store):
+    """max_time_per_query rides the same per-item-params > request-params
+    walk as max_hops (ResolutionAction.java:134): a valid budget on one
+    item leaves it green, while an unparseable TimeValue fails ONLY its
+    item with a 400-style error (TimeValue 'unit is missing').
+    Generous budgets so no query actually times out."""
+    ndjson = "\n".join([
+        json.dumps({"max_time_per_query": "5m"}),
+        json.dumps(PAYLOAD_TERMS),
+        json.dumps({"max_time_per_query": "10 bogons"}),
+        json.dumps(PAYLOAD_TERMS),
+    ])
+    resp = bulk_resolve_response(
+        spark, turns, ndjson, model_store=store,
+        default_entity_type="zentity_test_entity_a",
+        request_params={"max_time_per_query": "5m"},
+    )
+    body = json.loads(resp)
+    assert body["errors"] is True
+    ok, bad = body["items"]
+    assert "error" not in ok and ok["hits"]["total"] > 0
+    assert bad["hits"] == {"total": 0, "hits": []}
+    assert "unit is missing" in json.dumps(bad["error"])

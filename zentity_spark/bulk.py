@@ -123,6 +123,7 @@ def bulk_resolve(
                 SeededConfig(
                     max_hops=int(params.get("max_hops", 100)),
                     max_docs_per_query=int(params.get("max_docs_per_query", 1000)),
+                    max_time_per_query=params.get("max_time_per_query"),
                 ),
             )
             return {
@@ -222,7 +223,7 @@ def bulk_resolve_response(
                 raise ValidationException(
                     "You must specify either an entity type or an entity model."
                 )
-            return resolve_response(
+            item = resolve_response(
                 spark,
                 turns,
                 model,
@@ -235,6 +236,9 @@ def bulk_resolve_response(
                 SeededConfig(
                     max_hops=int(merged.get("max_hops", 100)),
                     max_docs_per_query=int(merged.get("max_docs_per_query", 1000)),
+                    # per-item override of the request-level budget, like
+                    # max_hops (ResolutionAction.java:134 optString walk)
+                    max_time_per_query=merged.get("max_time_per_query"),
                 ),
                 include_attributes=_param_bool(merged, "_attributes", True),
                 include_explanation=_param_bool(merged, "_explanation", False),
@@ -244,6 +248,13 @@ def bulk_resolve_response(
                 source_docs=source_docs,
                 include_error_trace=trace,
             )
+            # resolve_response handles job-execution errors itself and
+            # returns the reference's error envelope — the bulk `errors`
+            # flag must still reflect them (SingleResult carries
+            # job.failed(), ResolutionAction.java:216-219)
+            if json.loads(item).get("error") is not None:
+                failed[0] = True
+            return item
         except Exception as e:  # noqa: BLE001 — per-item error envelope is the contract
             failed[0] = True
             took = int((_time.time() - it0) * 1000)
