@@ -224,6 +224,34 @@ def main():
             best = dt if best is None else min(best, dt)
         queries[name] = round(best, 3)
 
+    ann = ann_probe(spark, sf_dir)
+    spark.stop()
+
+    scaling = None
+    if os.environ.get("BENCH_SCALING") == "1":
+        scaling = merge_scaling_cache(scaling_probe())
+    elif os.path.exists(_SCALING_CACHE):
+        # attach the last measured scaling evidence, labeled as cached —
+        # the probe takes ~40 min and is run explicitly (BENCH_SCALING=1;
+        # method + numbers documented in BASELINE.md "Measured")
+        with open(_SCALING_CACHE) as fh:
+            scaling = {**json.load(fh), "cached": True}
+
+    # Detail blocks (ANN quality probe, scaling host-evidence history) go
+    # on their OWN earlier line: the driver's tail capture is
+    # byte-bounded, and round 2's single giant line lost the headline
+    # off the front (BENCH_r02.json parsed: null). The LAST line is the
+    # compact headline contract the driver parses.
+    print(json.dumps({"detail": {"ann": ann, "scaling_full": scaling}}))
+    scaling_summary = None
+    if scaling is not None:
+        scaling_summary = {
+            k: scaling[k]
+            for k in ("levels", "pinned", "efficiency", "measured_at",
+                      "cached", "probe_error",
+                      *(f"throughput_local{n}" for n in scaling.get("levels", [])))
+            if k in scaling
+        }
     out = {
         "metric": "resolve_all_wallclock",
         "value": round(wall, 3),
@@ -237,20 +265,11 @@ def main():
         "pair_precision": round(precision, 6),
         "pair_recall": round(recall, 6),
         "cpus": cpus,
-        "ann": ann_probe(spark, sf_dir),
+        "ann_topk_recall": ann.get("topk_recall_vs_bruteforce"),
+        "scaling": scaling_summary,
     }
-    spark.stop()
-
-    if os.environ.get("BENCH_SCALING") == "1":
-        out["scaling"] = merge_scaling_cache(scaling_probe())
-    elif os.path.exists(_SCALING_CACHE):
-        # attach the last measured scaling evidence, labeled as cached —
-        # the probe takes ~40 min and is run explicitly (BENCH_SCALING=1;
-        # method + numbers documented in BASELINE.md "Measured")
-        with open(_SCALING_CACHE) as fh:
-            out["scaling"] = {**json.load(fh), "cached": True}
-
-    print(json.dumps(out))
+    sys.stdout.flush()
+    print(json.dumps(out, separators=(",", ":")))
 
 
 _SCALING_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
@@ -262,12 +281,18 @@ def merge_scaling_cache(probe: dict) -> dict:
     capacity swings 2-3× between windows — BASELINE.md "Scaling
     re-measurement"), promote the new probe to best_window when it
     wins, and return the merged record."""
-    stamped = {**probe, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
     prior = {}
     if os.path.exists(_SCALING_CACHE):
         with open(_SCALING_CACHE) as fh:
             prior = json.load(fh)
+    if "error" in probe:
+        # a failed probe must not re-stamp measured_at over the prior
+        # run's surviving numbers (they'd be misattributed to now) —
+        # report the failure without touching the cache
+        return {**prior, "probe_error": probe["error"]}
+    stamped = {**probe, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
     merged = {**prior, **stamped}
+    merged.pop("probe_error", None)
     best = prior.get("best_window")
     if "efficiency" in stamped and (
         best is None or stamped["efficiency"] > best.get("efficiency", 0.0)

@@ -63,6 +63,16 @@ def test_time_value_grammar():
     assert parse_time_value(None) is None
 
 
+@pytest.mark.parametrize("bad", ["-5s", "-0.5s", "-10ms"])
+def test_time_value_rejects_negative(bad):
+    """Negative durations with a unit are rejected (TimeValue parity):
+    a negative Event.wait timeout fires instantly, so accepting them
+    would silently cancel every query — data loss, not a 400. Only the
+    bare "-1" no-timeout form is negative-shaped and legal."""
+    with pytest.raises(ValidationException):
+        parse_time_value(bad)
+
+
 @pytest.mark.parametrize("bad", ["10", "10x", "s", "ten s", ""])
 def test_time_value_rejects(bad):
     """Bare numbers (other than 0/-1) and unknown units are 400s, like

@@ -31,6 +31,7 @@ from __future__ import annotations
 import datetime
 import re
 import threading
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -122,7 +123,13 @@ def parse_time_value(s: str | None) -> float | None:
     max_time_per_query (Query.java:427-428 → TimeValue.parseTimeValue):
     a number with a unit suffix in {d, h, m, s, ms, micros, nanos},
     case-insensitive; the only unitless forms are "0" and "-1"
-    (-1 = no timeout). Returns seconds, or None for no-timeout."""
+    (-1 = no timeout). Returns seconds, or None for no-timeout.
+
+    Deliberate relaxation vs ES 7+: fractional numerals ("1.5s") are
+    accepted here (ES 7+ rejects them); negative durations with a unit
+    ("-5s") are rejected like the reference — a negative Event.wait
+    timeout returns immediately, so a typo would silently cancel every
+    query and yield zero hits (data loss, not a 400)."""
     if s is None:
         return None
     v = str(s).strip().lower()
@@ -135,9 +142,16 @@ def parse_time_value(s: str | None) -> float | None:
         if v.endswith(unit):
             num = v[: -len(unit)].strip()
             try:
-                return float(num) * _TIME_UNITS[unit]
+                secs = float(num) * _TIME_UNITS[unit]
             except ValueError:
                 break
+            if secs < 0:
+                raise ValidationException(
+                    f"failed to parse setting [timeout] with value [{s}]"
+                    " as a time value: negative durations are not"
+                    " supported"
+                )
+            return secs
     raise ValidationException(
         f"failed to parse setting [timeout] with value [{s}] as a time value:"
         " unit is missing or unrecognized"
@@ -183,8 +197,14 @@ def _collect_with_budget(df: DataFrame, budget_s: float | None, tag: str):
         # completed collect is a completed query (ES returns full
         # results when they beat the timeout)
         return rows, False
-    except Exception:
-        if fired.is_set():
+    except Exception as exc:
+        # only mask CANCELLATIONS as timeouts: a genuine execution
+        # failure (OOM, late analysis error) that happens to land after
+        # the deadline must propagate, not be misreported as a clean
+        # timed-out query with zero hits
+        msg = f"{type(exc).__name__}: {exc}".lower()
+        if fired.is_set() and ("cancel" in msg or "interrupt" in msg
+                               or "killed" in msg):
             return [], True
         raise
     finally:
@@ -380,6 +400,10 @@ def resolve(
     engine runs DataFrame plans, not ES queries."""
     config = config or SeededConfig()
     budget_s = parse_time_value(config.max_time_per_query)
+    # per-invocation nonce: bulk runs items concurrently, and
+    # cancelJobsWithTag is global — identical (hop, query, index) tags
+    # across items would let one item's watchdog cancel a sibling's jobs
+    tag_prefix = f"zentity-seeded-{uuid.uuid4().hex}"
     query_log: list[dict] = []
     model.prune(input.scope)
     compiled = compile_model(model, input.attr_params())
@@ -596,7 +620,7 @@ def resolve(
             new_hits, timed_out = _collect_with_budget(
                 cand.orderBy("record_id").limit(config.max_docs_per_query),
                 budget_s,
-                f"zentity-seeded-h{hop}-q{qnum}-{index}",
+                f"{tag_prefix}-h{hop}-q{qnum}-{index}",
             )
             query_log.append(
                 {

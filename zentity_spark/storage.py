@@ -59,14 +59,21 @@ class SnapshotStore:
         return snaps[-1] if snaps else None
 
     def commit(self, df: DataFrame, table: str, stage: str,
-               fingerprint: str = "", extra: dict | None = None) -> dict:
-        """Write data, then atomically commit the snapshot manifest."""
+               fingerprint: str = "", extra: dict | None = None,
+               partition_by: list[str] | None = None) -> dict:
+        """Write data, then atomically commit the snapshot manifest.
+        partition_by hash-bucket columns map to Iceberg's bucket
+        transform — readers prune untouched buckets (streaming
+        incremental linkage reads only touched kb/rb partitions)."""
         table_dir = self._table_dir(table)
         snap_dir = os.path.join(table_dir, "snapshots")
         os.makedirs(snap_dir, exist_ok=True)
         snap_id = uuid.uuid4().hex[:12]
         data_path = os.path.join(table_dir, "data", snap_id)
-        df.write.mode("overwrite").parquet(data_path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_path)
 
         spark = df.sparkSession
         rows = spark.read.parquet(data_path).count()

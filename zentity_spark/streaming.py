@@ -28,8 +28,12 @@ continuously-arriving transcript corpus (input_hint shape) is:
 Scale notes: the streaming path reuses the batch operators' plan shapes
 (skinny blocking rows, broadcast model mapping, capped blocks). State
 in applyInPandasWithState is per-conversation and bounded by
-conversation length; the incremental join is new-batch × accumulated
-keys, i.e. |batch| × fan-out, never |corpus|².
+conversation length. Incremental linkage is O(batch) per micro-batch:
+values and blocking keys are committed as hash-bucketed append tables,
+each batch computes keys for NEW records only and fetches touched
+blocks / match material through partition-pruned bucket scans — no
+per-batch recomputation or shuffle over the accumulated corpus
+(per-batch scan rows are recorded in the stream_metrics table).
 """
 
 from __future__ import annotations
@@ -126,25 +130,83 @@ def assemble_conversations_stateful(stream_turns: DataFrame) -> DataFrame:
     )
 
 
+def _read_bucket_dirs(spark: SparkSession, store, table: str,
+                      bucket_col: str, buckets: list[int]):
+    """Read ONLY the named hash-bucket partitions across every committed
+    snapshot of `table` (committed with partition_by=[bucket_col]) —
+    the local-parquet analog of Iceberg's bucket-transform partition
+    pruning. Returns None when no snapshot has any touched bucket."""
+    import os
+
+    paths = [
+        p
+        for s in store.snapshots(table)
+        for b in buckets
+        if os.path.isdir(p := os.path.join(s["data_path"], f"{bucket_col}={b}"))
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def _commit_once(store, df: DataFrame, table: str, stage: str, fp: str,
+                 partition_by: list[str] | None = None) -> None:
+    """Idempotent append: a replayed micro-batch (crash between this
+    table's commit and a later one) must not append a second snapshot
+    with the same fingerprint — read_all unions snapshots, so a double
+    commit would duplicate rows."""
+    if store.latest(table, fingerprint=fp) is None:
+        store.commit(df, table, stage=stage, fingerprint=fp,
+                     partition_by=partition_by)
+
+
 def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
                         output_root: str, config=None,
-                        checkpoint_dir: str | None = None):
-    """Incremental record linkage via foreachBatch. Per micro-batch:
+                        checkpoint_dir: str | None = None,
+                        n_buckets: int = 64, metrics: bool = True):
+    """Incremental record linkage via foreachBatch — O(batch) per
+    micro-batch, not O(corpus). Committed tables (append snapshots):
 
-      1. batch turns → values (batch path) → committed to the store's
-         `values` table (append snapshots = the accumulated corpus);
-      2. the batch's records are blocked and joined against the
-         ACCUMULATED corpus's blocking keys (new × all, including
-         new × new) → verified pairs → edges appended to `edges`;
-      3. connected components recomputed over the accumulated edge set
-         (the CC input is edges — orders of magnitude smaller than the
+      values      long values rows, hash-bucketed by record_id (`rb`)
+      blkeys      per-record blocking keys (resolver, ckey, record_id),
+                  hash-bucketed by ckey (`kb`)
+      record_ids  skinny distinct record ids (for singleton clusters)
+      edges       verified match edges
+      clusters    full assignment snapshot per batch
+      stream_metrics  per-batch observability incl. pruned-scan rows
+
+    Per micro-batch:
+
+      1. batch turns → values (batch path only — O(batch) compute) →
+         committed bucketed by rb;
+      2. the batch's records are rebuilt from THEIR OWN values only
+         (bucket-pruned scan + semi-join on the new ids — a record
+         whose conversation spans micro-batches merges its old+new
+         values here), their blocking keys computed and committed
+         bucketed by kb;
+      3. the new keys' (resolver, ckey) blocks are fetched from the
+         committed keys table by PARTITION-PRUNED scan (only touched kb
+         buckets are read) + broadcast semi-join → candidate pairs with
+         ≥1 new side → match material fetched by id for TOUCHED pair
+         ids only (bucket-pruned values scan) → verified → edges
+         appended;
+      4. connected components recomputed over the accumulated edge set
+         (CC input is edges — orders of magnitude smaller than the
          corpus) → `clusters` snapshot.
 
-    Returns the StreamingQuery; callers await termination. Resume: all
-    three tables are snapshot-committed, so a restarted stream (same
-    checkpoint dir) continues from the last committed micro-batch —
-    Structured Streaming replays the uncommitted tail and the commit
-    fingerprints (batch id) make re-commits idempotent."""
+    Nothing in steps 1-3 scans, shuffles, or recomputes the accumulated
+    corpus: per-batch work ∝ |batch| × blocking fan-out. The committed
+    clusters output (step 4) is corpus-sized by definition; its CC input
+    is the edge set. On a real cluster the three bucketed tables map to
+    Iceberg bucket-transform partitioning (bucket(N, record_id) /
+    bucket(N, ckey)) with the same pruning; n_buckets=64 suits local
+    tests — size it so bucket ≫ executor count at production scale.
+
+    Returns the StreamingQuery; callers await termination. Resume: every
+    table is snapshot-committed with the batch id as fingerprint, so a
+    restarted stream (same checkpoint dir) replays the uncommitted tail
+    and per-table fingerprint checks make re-commits idempotent even
+    mid-batch (crash between commits)."""
     from zentity_spark.blocking import blocking_keys, candidate_pairs
     from zentity_spark.compiler import compile_model
     from zentity_spark.model import Model
@@ -156,32 +218,68 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
     config = config or ResolutionConfig()
     compiled = model if not isinstance(model, Model) else compile_model(model)
     store = SnapshotStore(output_root)
+    nb = F.lit(n_buckets)
+
+    def bucket_of(col: str) -> F.Column:
+        return F.pmod(F.xxhash64(col), nb).cast("int")
+
+    def rebuild_records(ids: DataFrame, parsed_batch):
+        """Match material for exactly `ids`: bucket-pruned values scan +
+        semi-join, then the batch-path record aggregation — O(|ids|'
+        values), never O(corpus)."""
+        buckets = [
+            r[0] for r in ids.select(bucket_of("record_id").alias("b"))
+            .distinct().collect()
+        ]
+        vals = _read_bucket_dirs(spark, store, "values", "rb", buckets)
+        if vals is None:  # ids was empty (e.g. zero candidate pairs)
+            return None, 0
+        scan_rows = vals.count() if metrics else None
+        vals = vals.join(ids, "record_id", "left_semi")
+        return build_records(vals, compiled, parsed_batch), scan_rows
 
     def process_batch(batch_turns, batch_id: int):
         fp = f"batch-{batch_id}"
-        if store.latest("values", fingerprint=fp) is not None:
-            return  # replayed batch after restart: already committed
-        values_new = build_values(spark, batch_turns, compiled)
-        store.commit(values_new, "values", stage="values", fingerprint=fp)
-
-        # accumulated corpus = union of every committed values snapshot
-        values_all = store.read_all(spark, "values")
-        records_all = build_records(
-            values_all, compiled, parse_turns(batch_turns)
-        ).localCheckpoint()
+        if store.latest("clusters", fingerprint=fp) is not None:
+            return  # replayed batch after restart: fully committed
+        batch_turns = batch_turns.localCheckpoint()
+        parsed_batch = parse_turns(batch_turns)
+        values_new = build_values(spark, batch_turns, compiled).withColumn(
+            "rb", bucket_of("record_id")
+        )
+        _commit_once(store, values_new, "values", "values", fp,
+                     partition_by=["rb"])
         new_ids = batch_turns.select(
             F.col("conv_id").alias("record_id")
-        ).distinct()
+        ).distinct().localCheckpoint()
+        _commit_once(store, new_ids, "record_ids", "record_ids", fp)
 
-        blocks_all = blocking_keys(
-            records_all, compiled, max_keys_per_record=config.max_keys_per_record
-        )
+        # records for the NEW ids only (old+new values merged for a
+        # conversation spanning batches; attr_name_fields presence for
+        # weighted models is taken from the current batch's turns)
+        records_new, values_scan_rows = rebuild_records(new_ids, parsed_batch)
+        keys_new = blocking_keys(
+            records_new, compiled,
+            max_keys_per_record=config.max_keys_per_record,
+        ).localCheckpoint()
+        _commit_once(store, keys_new.withColumn("kb", bucket_of("ckey")),
+                     "blkeys", "blkeys", fp, partition_by=["kb"])
+
         # new × all: only blocks containing a NEW record can produce new
-        # pairs — prune the self-join input to those blocks
-        new_blocks = blocks_all.join(new_ids, "record_id", "left_semi")
-        touched = new_blocks.select("resolver", "ckey").distinct()
-        pruned = blocks_all.join(touched, ["resolver", "ckey"], "left_semi")
-        cand, _ = candidate_pairs(pruned, max_block_size=config.max_block_size)
+        # pairs. Fetch those blocks' members by partition-pruned scan of
+        # the committed keys (touched kb buckets only) + broadcast
+        # semi-join on (resolver, ckey).
+        touched = keys_new.select("resolver", "ckey").distinct()
+        touched_kbs = [
+            r[0] for r in keys_new.select(bucket_of("ckey").alias("b"))
+            .distinct().collect()
+        ]
+        keys_scan = _read_bucket_dirs(spark, store, "blkeys", "kb", touched_kbs)
+        keys_scan_rows = keys_scan.count() if metrics else None
+        block_rows = keys_scan.join(
+            F.broadcast(touched), ["resolver", "ckey"], "left_semi"
+        ).dropDuplicates(["resolver", "ckey", "record_id"])
+        cand, _ = candidate_pairs(block_rows, max_block_size=config.max_block_size)
         # keep only pairs with ≥1 new side (old×old pairs already exist)
         cand = cand.join(
             new_ids.withColumnRenamed("record_id", "id_l"), "id_l", "left_semi"
@@ -189,15 +287,39 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             cand.join(
                 new_ids.withColumnRenamed("record_id", "id_r"), "id_r", "left_semi"
             )
-        ).dropDuplicates(["resolver", "id_l", "id_r"])
-        pairs = verify_pairs(cand, compiled, records_all)
-        edges_new = gate_edges(pairs, compiled).select("id_l", "id_r")
-        store.commit(edges_new, "edges", stage="edges", fingerprint=fp)
+        ).dropDuplicates(["resolver", "id_l", "id_r"]).localCheckpoint()
+
+        # match material by id for TOUCHED pair ids only
+        pair_ids = (
+            cand.select(F.col("id_l").alias("record_id"))
+            .unionByName(cand.select(F.col("id_r").alias("record_id")))
+            .distinct()
+        )
+        records_pairs, _ = rebuild_records(pair_ids, parsed_batch)
+        if records_pairs is None:
+            edges_new = spark.createDataFrame([], "id_l string, id_r string")
+        else:
+            pairs = verify_pairs(cand, compiled, records_pairs)
+            edges_new = gate_edges(pairs, compiled).select("id_l", "id_r")
+        _commit_once(store, edges_new, "edges", "edges", fp)
 
         edges_all = store.read_all(spark, "edges").dropDuplicates(["id_l", "id_r"])
-        clusters = _cluster_assignments(records_all, edges_all,
+        all_ids = store.read_all(spark, "record_ids").distinct()
+        clusters = _cluster_assignments(all_ids, edges_all,
                                         config.cc_max_iterations)
-        store.commit(clusters, "clusters", stage="clusters", fingerprint=fp)
+        if metrics:
+            batch_rows = batch_turns.count()
+            m = spark.createDataFrame(
+                [(
+                    int(batch_id), batch_rows,
+                    int(values_scan_rows or 0), int(keys_scan_rows or 0),
+                )],
+                "batch_id long, batch_turn_rows long,"
+                " values_scan_rows long, keys_scan_rows long",
+            )
+            _commit_once(store, m, "stream_metrics", "stream_metrics", fp)
+        # clusters LAST: its fingerprint is the batch-completion marker
+        _commit_once(store, clusters, "clusters", "clusters", fp)
 
     writer = stream_turns.writeStream.foreachBatch(process_batch)
     if checkpoint_dir is not None:
