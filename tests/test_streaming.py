@@ -172,3 +172,65 @@ def test_incremental_resolve_converges(spark, tmp_path):
     # ran as MULTIPLE micro-batches (maxFilesPerTrigger=1, two files)
     fps = {s["fingerprint"] for s in store.snapshots("values")}
     assert len(fps) >= 2
+
+
+def test_incremental_resolve_scan_is_batch_proportional(spark, tmp_path):
+    """O(batch) evidence (the scan, not just the join): after a LARGE
+    first micro-batch builds the committed corpus, a SMALL second batch
+    must read only its touched hash-bucket partitions of the committed
+    values/blocking-keys tables — per-batch scanned rows ∝ batch size,
+    not corpus size. The stream_metrics table records the pruned-scan
+    row counts per batch."""
+    import os
+
+    from zentity_spark.model import Model
+    from zentity_spark.storage import SnapshotStore
+    from zentity_spark.streaming import incremental_resolve, read_turn_stream
+
+    n_corpus = 80
+    corpus = [
+        (f"big{i}", 0, "user", f"key={i}", None, "2024-01-01 00:00:00")
+        for i in range(n_corpus)
+    ]
+    small = [
+        ("new1", 0, "user", "key=3", None, "2024-01-02 00:00:00"),
+        ("new2", 0, "user", "key=999", None, "2024-01-02 00:00:00"),
+    ]
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts string")
+    in_dir = str(tmp_path / "in")
+    df_a = spark.createDataFrame(corpus, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    df_b = spark.createDataFrame(small, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    df_a.coalesce(1).write.parquet(in_dir, mode="overwrite")
+    df_b.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = read_turn_stream(spark, in_dir, max_files_per_trigger=1)
+    out_root = str(tmp_path / "inc")
+    q = incremental_resolve(spark, stream, Model(MODEL), out_root,
+                            checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(240)
+
+    store = SnapshotStore(out_root)
+    metrics = {
+        r["batch_id"]: r
+        for r in store.read_all(spark, "stream_metrics").collect()
+    }
+    assert len(metrics) == 2
+    big_id, small_id = sorted(
+        metrics, key=lambda b: metrics[b]["batch_turn_rows"], reverse=True
+    )
+    big, sm = metrics[big_id], metrics[small_id]
+    assert big["batch_turn_rows"] == n_corpus and sm["batch_turn_rows"] == 2
+    # the small batch's pruned scans must touch a small fraction of the
+    # committed corpus (2 records → ≤2 of 64 hash buckets each)
+    assert sm["values_scan_rows"] <= n_corpus * 0.25, sm
+    assert sm["keys_scan_rows"] <= n_corpus * 0.25, sm
+    # correctness of the incremental result: new1 linked into big3's
+    # cluster via key=3; new2 is a singleton
+    clusters = store.read(spark, "clusters")
+    by_id = {r["record_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert by_id["new1"] == by_id["big3"]
+    assert sum(1 for v in by_id.values() if v == by_id["new2"]) == 1
+    assert len(by_id) == n_corpus + 2

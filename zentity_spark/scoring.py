@@ -87,16 +87,14 @@ def score_table(model) -> dict[tuple[str, str, str, str], float | None]:
 
 
 # ----------------------------------------------------------------------
-# Pairwise similarity features (north_star scoring surface): one
-# Arrow-batched pandas UDF computing Jaro-Winkler + Levenshtein +
-# Soundex + token-Jaccard per candidate pair over the records'
-# concatenated conversation text. Python workers are separate processes,
-# so this stage scales with cores independent of JVM GC/shuffle limits.
-
-PAIR_FEATURES_SCHEMA = (
-    "struct<jw_text:double, lev_prefix:int, soundex_eq:boolean, token_jaccard:double>"
-)
-
+# Pairwise similarity features (north_star scoring surface). Three of
+# the four features have exact JVM built-ins and are computed as Column
+# expressions (whole-stage codegen, zero Python): Levenshtein-prefix
+# (F.levenshtein over substring columns), Soundex equality of the first
+# token (F.soundex — cross-checked against the Python reference impl in
+# test_score_pairs), token-Jaccard (split + array_intersect /
+# array_union). Only Jaro-Winkler — which Spark lacks — runs in an
+# Arrow-batched pandas UDF (vectorized numpy, matchers.py).
 
 def _soundex_py(word: str) -> str:
     if not word:
@@ -130,40 +128,72 @@ def _lev_py(s1: str, s2: str) -> int:
     return prev[l2]
 
 
-def pair_features_udf(text_prefix: int = 200, lev_prefix: int = 32):
-    """pandas UDF (two text columns → similarity-feature struct):
-
-    - jw_text: Jaro-Winkler over the first `text_prefix` chars
-    - lev_prefix: Levenshtein distance over the first `lev_prefix` chars
-    - soundex_eq: Soundex equality of the first whitespace token
-    - token_jaccard: Jaccard of the whitespace token sets
-    """
+def jw_text_udf(text_prefix: int = 200):
+    """pandas UDF: Jaro-Winkler similarity over the first `text_prefix`
+    chars of two text columns — the one pair feature with no JVM
+    built-in (vectorized numpy implementation, matchers.py)."""
     from pyspark.sql.functions import pandas_udf
 
     def feats(a, b):
-        import pandas as pd
-
         from zentity_spark.matchers import jaro_winkler_pandas
 
-        ap = a.fillna("").str.slice(0, text_prefix)
-        bp = b.fillna("").str.slice(0, text_prefix)
-        jw = jaro_winkler_pandas(ap, bp)
-        lev, sx, jac = [], [], []
-        for x, y in zip(a, b):
-            x = x or ""
-            y = y or ""
-            lev.append(_lev_py(x[:lev_prefix], y[:lev_prefix]))
-            xt = x.split()
-            yt = y.split()
-            sx.append(_soundex_py(xt[0] if xt else "") == _soundex_py(yt[0] if yt else ""))
-            xs, ys = set(xt), set(yt)
-            u = len(xs | ys)
-            jac.append(len(xs & ys) / u if u else 1.0)
-        return pd.DataFrame(
-            {"jw_text": jw, "lev_prefix": lev, "soundex_eq": sx, "token_jaccard": jac}
+        return jaro_winkler_pandas(
+            a.fillna("").str.slice(0, text_prefix),
+            b.fillna("").str.slice(0, text_prefix),
         )
 
-    return pandas_udf(feats, PAIR_FEATURES_SCHEMA)
+    return pandas_udf(feats, "double")
+
+
+def _first_token(col: Column) -> Column:
+    """First whitespace-delimited token (Python str.split() semantics:
+    leading whitespace discarded, empty text → '')."""
+    return F.coalesce(
+        F.element_at(
+            F.filter(F.split(F.coalesce(col, F.lit("")), r"\s+"),
+                     lambda t: t != ""),
+            1,
+        ),
+        F.lit(""),
+    )
+
+
+def _token_set(col: Column) -> Column:
+    return F.array_distinct(
+        F.filter(F.split(F.coalesce(col, F.lit("")), r"\s+"),
+                 lambda t: t != "")
+    )
+
+
+def pair_feature_cols(text_l: Column, text_r: Column,
+                      text_prefix: int = 200, lev_prefix: int = 32) -> dict:
+    """The four pair similarity features as named Column expressions:
+
+    - jw_text: Jaro-Winkler over the first `text_prefix` chars (pandas
+      UDF — no JVM built-in)
+    - lev_prefix: Levenshtein distance over the first `lev_prefix` chars
+      (F.levenshtein on substring columns — JVM)
+    - soundex_eq: Soundex equality of the first whitespace token
+      (F.soundex — JVM; matches the Python reference _soundex_py on
+      letter-leading tokens, asserted in test_score_pairs)
+    - token_jaccard: Jaccard of the whitespace token sets
+      (array_intersect/array_union — JVM; both empty → 1.0)
+    """
+    l = F.coalesce(text_l, F.lit(""))
+    r = F.coalesce(text_r, F.lit(""))
+    tl, tr = _token_set(text_l), _token_set(text_r)
+    union = F.size(F.array_union(tl, tr))
+    return {
+        "jw_text": jw_text_udf(text_prefix)(text_l, text_r),
+        "lev_prefix": F.levenshtein(
+            F.substring(l, 1, lev_prefix), F.substring(r, 1, lev_prefix)
+        ),
+        "soundex_eq": F.soundex(_first_token(text_l))
+        == F.soundex(_first_token(text_r)),
+        "token_jaccard": F.when(union == 0, F.lit(1.0)).otherwise(
+            F.size(F.array_intersect(tl, tr)) / union
+        ),
+    }
 
 
 def score_pairs(pairs, conv_texts, id_l: str = "id_l", id_r: str = "id_r"):
@@ -180,10 +210,12 @@ def score_pairs(pairs, conv_texts, id_l: str = "id_l", id_r: str = "id_r"):
     per-row Python cost — left alone it squeezes the scoring stage into
     2-3 tasks and serializes the pandas UDF (measured: the stage ran no
     faster on 32 cores than 8). An explicit numPartitions repartition is
-    exempt from AQE coalescing, so every core gets scoring work."""
+    exempt from AQE coalescing, so every core gets scoring work.
+
+    lev/soundex/jaccard run as JVM column expressions; only JW crosses
+    into Python (pair_feature_cols)."""
     from pyspark.sql import functions as F
 
-    feats = pair_features_udf()
     l = conv_texts.select(
         F.col("record_id").alias(id_l), F.col("conv_text").alias("_text_l")
     )
@@ -192,17 +224,13 @@ def score_pairs(pairs, conv_texts, id_l: str = "id_l", id_r: str = "id_r"):
     )
     spark = pairs.sparkSession
     n_score_parts = spark.sparkContext.defaultParallelism * 3
+    feats = pair_feature_cols(F.col("_text_l"), F.col("_text_r"))
     return (
         pairs.join(l, id_l).join(r, id_r)
         .repartition(n_score_parts)
-        .withColumn("features", feats(F.col("_text_l"), F.col("_text_r")))
-        .drop("_text_l", "_text_r")
         .select(
             id_l, id_r,
-            F.col("features.jw_text").alias("jw_text"),
-            F.col("features.lev_prefix").alias("lev_prefix"),
-            F.col("features.soundex_eq").alias("soundex_eq"),
-            F.col("features.token_jaccard").alias("token_jaccard"),
+            *(expr.alias(name) for name, expr in feats.items()),
         )
     )
 
