@@ -147,7 +147,32 @@ def ann_probe(spark, sf_dir: str) -> dict:
     topk_recall = round(len(brute & bucketed) / 10, 3)
     ivf_probe_fraction = round(ivf_probe / ivf_cents, 6)
     ivf_recall = round(len(brute & ivf) / 10, 3)
+
+    # planted-cluster corpus: ground truth where the random sf* vectors
+    # have none — a broken index cannot pass recall ≥ 0.9 here
+    # (same corpora/params as tests/test_ann_clustered.py)
+    from zentity_spark.generator import synth_clustered_embeddings
+
+    cl = synth_clustered_embeddings(
+        spark, n_clusters=30, per_cluster=25, dim=64
+    ).localCheckpoint()
+    cl_brute = {row["vec_id"] for row in ann_topk_bruteforce(cl, 7, 10).collect()}
+    cl_bucketed = {
+        row["vec_id"]
+        for row in ann_topk_bucketed(cl, 7, 10, dim=64, bands=bands,
+                                     planes_per_band=r).collect()
+    }
+    cl_ivf = {
+        row["vec_id"]
+        for row in ann_topk_ivf(cl, 7, 10, n_centroids=ivf_cents,
+                                n_probe=ivf_probe, n_iters=1).collect()
+    }
+    clustered = {
+        "topk_recall_vs_bruteforce": round(len(cl_brute & cl_bucketed) / 10, 3),
+        "ivf_recall_vs_bruteforce": round(len(cl_brute & cl_ivf) / 10, 3),
+    }
     return {
+        "clustered": clustered,
         "vectors": n,
         "candidate_pairs": cand,
         "all_pairs": n * (n - 1) // 2,
@@ -266,6 +291,10 @@ def main():
         "pair_recall": round(recall, 6),
         "cpus": cpus,
         "ann_topk_recall": ann.get("topk_recall_vs_bruteforce"),
+        "ann_clustered_recall": ann.get("clustered", {}).get(
+            "topk_recall_vs_bruteforce"),
+        "ann_clustered_ivf_recall": ann.get("clustered", {}).get(
+            "ivf_recall_vs_bruteforce"),
         "scaling": scaling_summary,
     }
     sys.stdout.flush()

@@ -173,3 +173,57 @@ def true_pairs(transcripts: DataFrame) -> DataFrame:
         .where(F.col("l.record_id") < F.col("r.record_id"))
         .select(F.col("l.record_id").alias("id_l"), F.col("r.record_id").alias("id_r"))
     )
+
+
+def synth_clustered_embeddings(spark: SparkSession, n_clusters: int = 50,
+                               per_cluster: int = 40, dim: int = 64,
+                               sigma: float = 0.35) -> DataFrame:
+    """Planted-cluster embedding corpus for ANN quality evaluation.
+
+    Near-uniform random vectors (the sf* embeddings tables) put the true
+    top-k at the cosine noise floor, where recall measures LSH
+    concentration rather than retrieval quality — an index could be
+    badly broken and still score ~0.5. This corpus plants ground truth:
+    vector v of cluster c is normalize(center_c + sigma·noise_v) with
+    unit random centers, so cluster mates sit at cosine ≈ 1/(1+σ²)
+    (≈0.89 at σ=0.35) while cross-cluster cosine ≈ 0 ± 1/√dim. Any
+    query's exact top-k are its cluster mates, and a working
+    bucketed/IVF index must reach recall@k ≥ 0.9 here (asserted in
+    test_ann_clustered and measured per-round by bench.py).
+
+    Deterministic: centers and noise derive from seeded RandomState
+    keyed by cluster id / vec_id — independent of partitioning. Schema
+    matches the driver's embeddings tables
+    (vec_id long, embedding array<float>, label int)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = n_clusters * per_cluster
+
+    @pandas_udf("array<float>")
+    def gen(vec_ids):
+        import functools
+
+        import numpy as np
+        import pandas as pd
+
+        @functools.lru_cache(maxsize=4096)
+        def center(cid: int):
+            rc = np.random.RandomState(1_000_003 + cid)
+            c = rc.standard_normal(dim)
+            return c / np.linalg.norm(c)
+
+        out = []
+        for vid in vec_ids:
+            cid = int(vid) % n_clusters
+            rn = np.random.RandomState(2_000_003 + int(vid))
+            # scale per-component so the NOISE VECTOR's norm is ≈ sigma
+            # (a dim-dim standard normal has norm ≈ √dim, not 1)
+            v = center(cid) + sigma * rn.standard_normal(dim) / np.sqrt(dim)
+            out.append((v / np.linalg.norm(v)).astype("float32"))
+        return pd.Series(out)
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        gen(F.col("id")).alias("embedding"),
+        (F.col("id") % n_clusters).cast("int").alias("label"),
+    )
