@@ -122,3 +122,108 @@ def test_cli_bulk(setup, tmp_path, capsys):
     assert ok["hits"]["total"] == 2
     assert bad["error"]["reason"] == "Entity type 'missing_type' not found."
     assert bad["hits"] == {"total": 0, "hits": []}
+
+
+def test_cli_models_crud(tmp_path, capsys):
+    """models subcommand e2e: setup / create / get / list / update /
+    delete with the reference's create-vs-update exists semantics
+    (ModelsAction.java:86-99)."""
+    models_dir = str(tmp_path / "models")
+    spec_path = str(tmp_path / "m.json")
+    with open(spec_path, "w") as fh:
+        json.dump(MODEL, fh)
+
+    def run(*argv):
+        code = 0
+        try:
+            cli.main(list(argv))
+        except SystemExit as e:
+            code = e.code or 0
+        return code, json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    code, out = run("models", "setup", "--models-dir", models_dir)
+    assert code == 0 and out == {"acknowledged": True}
+    # re-setup: ok by default, conflict with --no-exist-ok
+    code, out = run("models", "setup", "--models-dir", models_dir,
+                    "--no-exist-ok")
+    assert code == 1 and out["error"]["root_cause"][0]["type"].startswith(
+        "resource_already_exists"
+    )
+
+    code, out = run("models", "create", "--models-dir", models_dir,
+                    "--entity-type", "person", "--spec", spec_path)
+    assert code == 0 and out["result"] == "created"
+    # create again: exists → error envelope, exit 1
+    code, out = run("models", "create", "--models-dir", models_dir,
+                    "--entity-type", "person", "--spec", spec_path)
+    assert code == 1 and "already exists" in json.dumps(out)
+    # update over existing: fine (PUT semantics)
+    code, out = run("models", "update", "--models-dir", models_dir,
+                    "--entity-type", "person", "--spec", spec_path)
+    assert code == 0 and out["result"] == "updated"
+
+    code, out = run("models", "get", "--models-dir", models_dir,
+                    "--entity-type", "person")
+    assert code == 0 and out == MODEL
+    code, out = run("models", "get", "--models-dir", models_dir,
+                    "--entity-type", "nobody")
+    assert code == 1 and "not found" in json.dumps(out)
+
+    code, out = run("models", "list", "--models-dir", models_dir)
+    assert code == 0 and set(out) == {"person"}
+
+    code, out = run("models", "delete", "--models-dir", models_dir,
+                    "--entity-type", "person")
+    assert code == 0 and out["result"] == "deleted"
+    code, out = run("models", "delete", "--models-dir", models_dir,
+                    "--entity-type", "person")
+    assert code == 1
+    code, out = run("models", "list", "--models-dir", models_dir)
+    assert code == 0 and out == {}
+
+    # invalid model spec → validation error envelope
+    bad_path = str(tmp_path / "bad.json")
+    with open(bad_path, "w") as fh:
+        json.dump({"attributes": {}}, fh)
+    code, out = run("models", "create", "--models-dir", models_dir,
+                    "--entity-type", "person", "--spec", bad_path)
+    assert code == 1 and "error" in out
+
+
+def test_cli_models_bulk(tmp_path, capsys):
+    """models bulk NDJSON: strictly-serial ops with per-item error
+    envelopes and batch continuation (ModelsAction.java:759-883); the
+    URL-path default entity type merges under per-action params."""
+    models_dir = str(tmp_path / "models")
+    body_path = str(tmp_path / "bulk.ndjson")
+    with open(body_path, "w") as fh:
+        fh.write(json.dumps({"create": {"entity_type": "a"}}) + "\n")
+        fh.write(json.dumps(MODEL) + "\n")
+        fh.write(json.dumps({"create": {"entity_type": "a"}}) + "\n")  # dup → item error
+        fh.write(json.dumps(MODEL) + "\n")
+        fh.write(json.dumps({"update": {}}) + "\n")  # entity_type from URL path
+        fh.write(json.dumps(MODEL) + "\n")
+        fh.write(json.dumps({"delete": {"entity_type": "a"}}) + "\n")
+        fh.write("{}\n")
+
+    try:
+        cli.main(["models", "bulk", "--models-dir", models_dir,
+                  "--body", body_path, "--entity-type", "b"])
+        code = 0
+    except SystemExit as e:
+        code = e.code or 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert code == 0
+    items = out["items"]
+    assert len(items) == 4
+    assert items[0]["create"]["result"] == "ok"
+    assert "error" in items[1]["create"]  # duplicate create failed, batch continued
+    assert items[2]["update"]["entity_type"] == "b"  # URL-path default
+    assert items[3]["delete"]["result"] == "ok"
+    # store state after the batch: only 'b' remains
+    try:
+        cli.main(["models", "list", "--models-dir", models_dir])
+    except SystemExit as e:
+        assert (e.code or 0) == 0
+    left = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(left) == {"b"}

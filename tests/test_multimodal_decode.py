@@ -79,6 +79,10 @@ def test_decode_media_batches_mixed(spark):
     n = len(b"opaque-needs-codec")
     assert (got[5]["width"], got[5]["height"]) == ((n % 64) * 16 + 16, (n % 48) * 16 + 16)
     assert (got[6]["width"], got[6]["height"]) == (0, 0)
+    # honesty flag: stdlib-decoded payloads are decoded_real; the
+    # codec-fallback fake and the null payload are not
+    assert all(got[i]["decoded_real"] for i in range(5))
+    assert not got[5]["decoded_real"] and not got[6]["decoded_real"]
 
 
 def test_stub_false_raises_for_codec_payloads(spark):

@@ -39,6 +39,61 @@ def _spark(app: str):
     return builder.getOrCreate()
 
 
+def _models_cmd(args) -> int:
+    """Models CRUD/bulk/setup over ModelStore, mirroring the reference's
+    routes (ModelsAction.java:86-99, SetupAction.java:43-91): GET one /
+    GET all / POST create (fails if exists) / PUT update / DELETE /
+    POST _bulk (strictly serial, per-item envelopes) / POST _setup.
+    Returns the process exit code (0 ok; 1 with the request error
+    envelope on a failed non-bulk op — bulk reports per-item errors in
+    the body and exits 0, like the reference's 200-with-item-errors)."""
+    from zentity_spark.envelope import request_error_json
+    from zentity_spark.errors import ValidationException
+    from zentity_spark.models_store import ModelStore
+
+    store = ModelStore(args.models_dir)
+    indent = 2 if args.pretty else None
+
+    def need(attr: str, flag: str):
+        if getattr(args, attr) is None:
+            raise ValidationException(
+                f"--{flag} is required for 'models {args.verb}'"
+            )
+
+    try:
+        if args.verb == "setup":
+            out = store.setup(exist_ok=not args.no_exist_ok)
+        elif args.verb == "get":
+            need("entity_type", "entity-type")
+            out = store.get(args.entity_type).spec
+        elif args.verb == "list":
+            out = {name: model.spec for name, model in store.get_all().items()}
+        elif args.verb in ("create", "update"):
+            need("entity_type", "entity-type")
+            need("spec", "spec")
+            with open(args.spec) as fh:
+                spec = json.load(fh)
+            getattr(store, args.verb)(args.entity_type, spec)
+            out = {"entity_type": args.entity_type, "result": args.verb + "d"}
+        elif args.verb == "delete":
+            need("entity_type", "entity-type")
+            store.delete(args.entity_type)
+            out = {"entity_type": args.entity_type, "result": "deleted"}
+        else:  # bulk
+            need("body", "body")
+            with open(args.body) as fh:
+                body = fh.read()
+            default = (
+                {"entity_type": args.entity_type} if args.entity_type else None
+            )
+            out = {"items": store.bulk_ndjson(body, default_params=default)}
+    except Exception as e:  # noqa: BLE001 — request-level error envelope
+        print(request_error_json(e))
+        return 1
+    print(json.dumps(out, indent=indent))
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="zentity-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -98,7 +153,32 @@ def main(argv=None):
     bk.add_argument("--max-hops", type=int, default=100)
     bk.add_argument("--max-docs-per-query", type=int, default=1000)
 
+    m = sub.add_parser(
+        "models",
+        help="entity-model management (the _zentity/models routes, "
+             "ModelsAction.java:86-99 + SetupAction.java:43-91)",
+    )
+    m.add_argument("verb", choices=["get", "list", "create", "update",
+                                    "delete", "bulk", "setup"])
+    m.add_argument("--models-dir", required=True,
+                   help="ModelStore root directory")
+    m.add_argument("--entity-type", default=None)
+    m.add_argument("--spec", default=None,
+                   help="path to the entity-model JSON (create/update)")
+    m.add_argument("--body", default=None,
+                   help="path to the NDJSON action/payload pairs (bulk)")
+    m.add_argument("--no-exist-ok", action="store_true",
+                   help="setup: fail if the store already exists "
+                        "(resource_already_exists, SetupActionIT)")
+    m.add_argument("--pretty", action="store_true")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "models":
+        # no Spark session needed — model documents are driver-side
+        # config, exactly like the reference's hidden .zentity-models
+        # index ops run on the coordinating node
+        sys.exit(_models_cmd(args))
 
     if args.cmd == "home":
         # no Spark session needed — pure metadata (HomeAction.java:50-67)

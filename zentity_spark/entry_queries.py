@@ -1720,7 +1720,8 @@ def q_multimodal_decode(spark, sf_dir):
     )
     return (
         decode_media_batches(media)
-        .select("media_id", "kind", "width", "height", "n_frames")
+        .select("media_id", "kind", "width", "height", "n_frames",
+                "decoded_real")
         .orderBy("media_id")
     )
 
@@ -1729,7 +1730,8 @@ SQL_MULTIMODAL = """
 SELECT doc_id AS media_id, 'image' AS kind,
        CAST((octet_length(encode(text)) % 64) * 16 + 16 AS INT) AS width,
        CAST((octet_length(encode(text)) % 48) * 16 + 16 AS INT) AS height,
-       CAST(1 AS INT) AS n_frames
+       CAST(1 AS INT) AS n_frames,
+       FALSE AS decoded_real
 FROM documents ORDER BY media_id
 """
 

@@ -22,9 +22,11 @@ Similarity search:
 Text analysis:
   text_quality / language_id / token_counts / winnow_fingerprints
 Multimodal:
-  decode_image_batch   mapInPandas plumbing with a STUBBED decoder (the
-                       image libs aren't in this container) — schema,
-                       batching, and partitioning are real and tested.
+  decode_media_batches mapInPandas over opaque binary columns: REAL
+                       pure-stdlib decode of PNG/GIF/JPEG/PPM/PGM/WAV
+                       headers; codec-requiring formats fall back to a
+                       deterministic fake flagged decoded_real=false
+                       (this container has no PIL/ffmpeg).
 """
 
 from __future__ import annotations
@@ -937,10 +939,13 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "
 
 
 # ----------------------------------------------------------------------
-# Multimodal plumbing (decode stubbed: no image/audio libs in container)
+# Multimodal plumbing: stdlib-decodable formats are really decoded;
+# codec-requiring payloads get a deterministic fake, flagged
+# decoded_real=false so downstream can tell them apart
 
 MULTIMODAL_SCHEMA = (
-    "media_id long, kind string, width int, height int, n_frames int, feature array<double>"
+    "media_id long, kind string, width int, height int, n_frames int,"
+    " feature array<double>, decoded_real boolean"
 )
 
 
@@ -1025,18 +1030,20 @@ def decode_media_batches(media: DataFrame, stub: bool = True) -> DataFrame:
     (sniff_decode: PNG/GIF/JPEG/PPM/PGM headers, WAV via `wave` — for
     audio, width=sample_rate, height=channels, n_frames=frames).
     Payloads needing an external codec fall back to a DETERMINISTIC FAKE
-    derived from the payload bytes (clearly marked — this container has
-    no PIL/ffmpeg); with stub=False they raise instead. Batch shape,
-    Arrow transfer, partitioning, and output schema are real either way.
+    derived from the payload bytes, flagged decoded_real=false in the
+    output (this container has no PIL/ffmpeg); with stub=False they
+    raise instead. Batch shape, Arrow transfer, partitioning, and output
+    schema are real either way.
     """
 
     def decode(iterator):
         import pandas as pd
 
         for pdf in iterator:
-            widths, heights, frames, feats = [], [], [], []
+            widths, heights, frames, feats, real = [], [], [], [], []
             for p in pdf["payload"]:
                 got = sniff_decode(p) if p is not None else None
+                is_real = got is not None
                 if got is not None:
                     w, h, nf, fv = got
                 elif p is None:
@@ -1055,6 +1062,7 @@ def decode_media_batches(media: DataFrame, stub: bool = True) -> DataFrame:
                 heights.append(h)
                 frames.append(nf)
                 feats.append(fv)
+                real.append(is_real)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -1063,6 +1071,7 @@ def decode_media_batches(media: DataFrame, stub: bool = True) -> DataFrame:
                     "height": heights,
                     "n_frames": frames,
                     "feature": feats,
+                    "decoded_real": real,
                 }
             )
 

@@ -298,6 +298,9 @@ class Model:
             if key not in self.REQUIRED_FIELDS:
                 raise ValidationException(f"'{key}' is not a recognized field.")
 
+        # the validated source document, as the models API returns it
+        # (ModelsAction GET serves the stored _source verbatim)
+        self.spec: dict = spec
         self.attributes: dict[str, Attribute] = {
             n: Attribute.parse(n, s) for n, s in sorted(spec["attributes"].items())
         }
