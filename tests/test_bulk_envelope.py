@@ -270,3 +270,50 @@ def test_bulk_max_time_per_query_param(spark, turns, store):
     assert "error" not in ok and ok["hits"]["total"] > 0
     assert bad["hits"] == {"total": 0, "hits": []}
     assert "unit is missing" in json.dumps(bad["error"])
+
+
+def test_bulk_audit_rows_reach_metrics_table(spark, turns, store):
+    """S7 for the bulk path: each bulk item's per-hop query audit rows
+    (incl. timed_out) are captured and survive into the metrics table
+    via storage.query_log_metrics. Item 0 gets a generous budget (no
+    timeouts); item 1 gets a 1-nano budget, so its queries must be
+    audit-logged timed_out=true with zero hits."""
+    from zentity_spark.storage import query_log_metrics
+
+    ndjson = "\n".join([
+        json.dumps({"max_time_per_query": "5m"}),
+        json.dumps(PAYLOAD_TERMS),
+        json.dumps({"max_time_per_query": "1nanos"}),
+        json.dumps(PAYLOAD_TERMS),
+    ])
+    audit: list = []
+    resp = bulk_resolve_response(
+        spark, turns, ndjson, model_store=store,
+        default_entity_type="zentity_test_entity_a",
+        audit=audit,
+    )
+    body = json.loads(resp)
+    assert [a["item"] for a in audit] == [0, 1]
+    # item 0: real queries ran, none timed out
+    assert audit[0]["query_log"] and not any(
+        q["timed_out"] for q in audit[0]["query_log"]
+    )
+    assert body["items"][0]["hits"]["total"] > 0
+    # item 1: under the 1-nano budget queries are cancelled best-effort
+    # (ES timeout semantics — a collect that beats the cancel is a
+    # completed query), so at least one row must be audit-logged
+    # timed_out=true with zero hits
+    assert any(
+        q["timed_out"] and q["hits"] == 0 for q in audit[1]["query_log"]
+    )
+
+    # the audit rows commit to the metrics table with per-item run ids
+    rows = []
+    for a in audit:
+        rows.extend(
+            query_log_metrics(spark, a["query_log"],
+                              run_id=f"bulk-item-{a['item']}").collect()
+        )
+    timed = [r for r in rows if r["timed_out"]]
+    assert timed and all(r["run_id"] == "bulk-item-1" for r in timed)
+    assert all(r["hits"] == 0 for r in timed)

@@ -60,6 +60,7 @@ def bulk_resolve(
     model_store=None,
     default_model: Model | None = None,
     max_concurrency: int = MAX_CONCURRENT_JOBS,
+    audit: list | None = None,
 ) -> dict:
     """Run each (params, payload) pair as a seeded job. params may carry
     `entity_type` (resolved via model_store — per-item override,
@@ -67,11 +68,18 @@ def bulk_resolve(
     Returns {errors: bool, items: [...]} in input order. Malformed
     params/payload lines become per-item error envelopes — the batch
     never fails on one bad entry (delegateJobFailure,
-    ResolutionAction.java:240-249)."""
-    entries = split_bulk_lines(ndjson)
+    ResolutionAction.java:240-249).
 
-    def one(entry):
+    audit: optional list; filled (input order) with one
+    {"item": i, "query_log": [...]} per entry — the per-hop audit rows
+    incl. timed_out (S7), ready for storage.query_log_metrics."""
+    entries = split_bulk_lines(ndjson)
+    logs: list = [[] for _ in entries]
+
+    def one(ientry):
+        i, entry = ientry
         raw_params, raw_payload = entry
+        capture: dict = {}
         try:
             params = json.loads(raw_params) if raw_params.strip() else {}
             payload = json.loads(raw_payload)
@@ -125,6 +133,7 @@ def bulk_resolve(
                     max_docs_per_query=int(params.get("max_docs_per_query", 1000)),
                     max_time_per_query=params.get("max_time_per_query"),
                 ),
+                _capture=capture,
             )
             return {
                 "hits": {
@@ -139,9 +148,15 @@ def bulk_resolve(
             return {"error": {"by": getattr(e, "by", "zentity"),
                               "type": type(e).__name__, "reason": str(e)},
                     "hits": {"total": 0, "hits": []}}
+        finally:
+            logs[i] = capture.get("query_log", [])
 
     with ThreadPoolExecutor(max_workers=min(max_concurrency, max(len(entries), 1))) as ex:
-        items = list(ex.map(one, entries))
+        items = list(ex.map(one, enumerate(entries)))
+    if audit is not None:
+        audit.extend(
+            {"item": i, "query_log": ql} for i, ql in enumerate(logs)
+        )
     return {"errors": any("error" in i for i in items), "items": items}
 
 
@@ -163,6 +178,7 @@ def bulk_resolve_response(
     request_params: dict | None = None,
     source_docs=None,
     max_concurrency: int = MAX_CONCURRENT_JOBS,
+    audit: list | None = None,
 ) -> str:
     """Reference-envelope bulk resolution: returns the exact
     `{"took":N,"errors":bool,"items":[...]}` JSON body of
@@ -192,12 +208,15 @@ def bulk_resolve_response(
     t0 = _time.time()
     entries = split_bulk_lines(ndjson)
     failed = [False]
+    logs: list = [[] for _ in entries]
 
-    def one(entry):
+    def one(ientry):
+        i, entry = ientry
         raw_params, raw_payload = entry
         it0 = _time.time()
         merged = dict(req)
         trace = _param_bool(merged, "error_trace", True)
+        capture: dict = {}
         try:
             params = json.loads(raw_params) if raw_params.strip() else {}
             if not isinstance(params, dict):
@@ -247,6 +266,7 @@ def bulk_resolve_response(
                 include_queries=_param_bool(merged, "queries", False),
                 source_docs=source_docs,
                 include_error_trace=trace,
+                _capture=capture,
             )
             # resolve_response handles job-execution errors itself and
             # returns the reference's error envelope — the bulk `errors`
@@ -263,11 +283,19 @@ def bulk_resolve_response(
                 f"\"error\":{{{serialize_exception(e, trace)}}},"
                 "\"hits\":{\"total\":0,\"hits\":[]}" + "}"
             )
+        finally:
+            # per-item audit rows (incl. timed_out) survive the envelope:
+            # S7 parity for the bulk path, not just single resolve
+            logs[i] = capture.get("query_log", [])
 
     with ThreadPoolExecutor(
         max_workers=min(max_concurrency, max(len(entries), 1))
     ) as ex:
-        items = list(ex.map(one, entries))
+        items = list(ex.map(one, enumerate(entries)))
+    if audit is not None:
+        audit.extend(
+            {"item": i, "query_log": ql} for i, ql in enumerate(logs)
+        )
     took = int((_time.time() - t0) * 1000)
     return (
         "{" + f"\"took\":{took},\"errors\":{str(failed[0]).lower()},"

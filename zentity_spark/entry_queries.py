@@ -935,6 +935,143 @@ SELECT node AS conv_id, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY c
 """
 
 
+# entity closure (A-family, Job.java:1096-1113 semantics): a record can
+# join a cluster only through the CLUSTER's combined value set — no
+# single member shares a whole resolver with it
+CLOSURE_MODEL = {
+    "attributes": {"name": {}, "phone": {}, "email": {}},
+    "resolvers": {
+        "r_name": {"attributes": ["name"]},
+        "r_pe": {"attributes": ["phone", "email"]},
+    },
+    "matchers": {"exact": {"clause": {"term": {"{{ field }}": "{{ value }}"}}}},
+    "indices": {
+        "default": {
+            "fields": {
+                "name": {"attribute": "name", "matcher": "exact"},
+                "phone": {"attribute": "phone", "matcher": "exact"},
+                "email": {"attribute": "email", "matcher": "exact"},
+            }
+        }
+    },
+}
+
+
+def _closure_turns(spark, sf_dir):
+    """Deterministic closure fixture derived from the nation table: per
+    nation k, records a<k>{name,phone}, b<k>{name,email}, c<k>{phone,
+    email}. a-b link directly via r_name; c shares NO complete resolver
+    with any single record (a lacks email, b lacks phone) and joins ONLY
+    when cluster {a,b}'s combined values activate r_pe — the closure
+    semantics of Job.java:1096-1113 (updateInputAttributes accumulating
+    values across fetched docs)."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    k = F.col("n_nationkey").cast("string")
+    ts = F.lit("2024-01-01 00:00:00").cast("timestamp")
+
+    def rec(prefix: str, attrs: list[str]):
+        parts = []
+        for i, attr in enumerate(attrs):
+            parts.append(n.select(
+                F.concat(F.lit(prefix), k).alias("conv_id"),
+                F.lit(i).cast("int").alias("turn_idx"),
+                F.lit("user").alias("role"),
+                F.concat(F.lit(f"{attr}="), F.lit(attr[0]), k).alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                ts.alias("ts"),
+            ))
+        return parts
+
+    from functools import reduce as _reduce
+
+    return _reduce(
+        DataFrame.unionByName,
+        rec("a", ["name", "phone"]) + rec("b", ["name", "email"])
+        + rec("c", ["phone", "email"]),
+    )
+
+
+def q_entity_closure(spark, sf_dir):
+    """Entity-closure loop (pipeline._entity_closure): after base
+    blocking/verification/CC, clusters are re-blocked as SUPER-records
+    (union of member values) until no merges — so record c<k> joins
+    {a<k>, b<k>} through r_pe even though no pairwise match exists.
+    Oracle: the same two-stage semantics as recursive CTEs over the
+    record↔value graph (base CC, then conjunction-aware cluster-level
+    merge, then final CC)."""
+    from zentity_spark.pipeline import ResolutionConfig, resolve_all
+
+    turns = _closure_turns(spark, sf_dir)
+    res = resolve_all(
+        spark, turns, Model(CLOSURE_MODEL),
+        ResolutionConfig(entity_closure=True),
+    )
+    return res.clusters.select(
+        F.col("record_id").alias("conv_id"), "cluster_id"
+    ).orderBy("conv_id")
+
+
+SQL_ENTITY_CLOSURE = """
+WITH RECURSIVE recs AS (
+  SELECT 'a' || n_nationkey AS rid, 'name' AS attr, 'n' || n_nationkey AS val FROM nation
+  UNION ALL SELECT 'a' || n_nationkey, 'phone', 'p' || n_nationkey FROM nation
+  UNION ALL SELECT 'b' || n_nationkey, 'name', 'n' || n_nationkey FROM nation
+  UNION ALL SELECT 'b' || n_nationkey, 'email', 'e' || n_nationkey FROM nation
+  UNION ALL SELECT 'c' || n_nationkey, 'phone', 'p' || n_nationkey FROM nation
+  UNION ALL SELECT 'c' || n_nationkey, 'email', 'e' || n_nationkey FROM nation
+),
+-- pairwise base edges: r_name (shared name), r_pe (BOTH phone and email
+-- match pairwise — the conjunction, not bare value connectivity)
+name_edges AS (
+  SELECT l.rid AS src, r.rid AS dst FROM recs l JOIN recs r
+    ON l.attr = 'name' AND r.attr = 'name' AND l.val = r.val AND l.rid <> r.rid
+),
+pe_edges AS (
+  SELECT p1.rid AS src, p2.rid AS dst
+  FROM recs p1
+  JOIN recs p2 ON p1.attr = 'phone' AND p2.attr = 'phone'
+             AND p1.val = p2.val AND p1.rid <> p2.rid
+  JOIN recs e1 ON e1.rid = p1.rid AND e1.attr = 'email'
+  JOIN recs e2 ON e2.rid = p2.rid AND e2.attr = 'email' AND e1.val = e2.val
+),
+base_sym AS (SELECT src, dst FROM name_edges UNION SELECT src, dst FROM pe_edges),
+reach0(node, r) AS (
+  SELECT rid, rid FROM (SELECT DISTINCT rid FROM recs)
+  UNION
+  SELECT base_sym.dst, reach0.r FROM base_sym JOIN reach0 ON base_sym.src = reach0.node
+),
+comp0 AS (SELECT node AS rid, min(r) AS comp FROM reach0 GROUP BY node),
+-- cluster-level value sets (the closure loop's super-records)
+cvals AS (
+  SELECT DISTINCT c.comp, r.attr, r.val FROM recs r JOIN comp0 c ON r.rid = c.rid
+),
+-- cluster-merge edges under the SAME resolver conjunctions
+cname AS (
+  SELECT l.comp AS src, r.comp AS dst FROM cvals l JOIN cvals r
+    ON l.attr = 'name' AND r.attr = 'name' AND l.val = r.val AND l.comp <> r.comp
+),
+cpe AS (
+  SELECT p1.comp AS src, p2.comp AS dst
+  FROM cvals p1
+  JOIN cvals p2 ON p1.attr = 'phone' AND p2.attr = 'phone'
+              AND p1.val = p2.val AND p1.comp <> p2.comp
+  JOIN cvals e1 ON e1.comp = p1.comp AND e1.attr = 'email'
+  JOIN cvals e2 ON e2.comp = p2.comp AND e2.attr = 'email' AND e1.val = e2.val
+),
+all_sym AS (
+  SELECT src, dst FROM base_sym
+  UNION SELECT src, dst FROM cname
+  UNION SELECT src, dst FROM cpe
+),
+reach1(node, r) AS (
+  SELECT rid, rid FROM (SELECT DISTINCT rid FROM recs)
+  UNION
+  SELECT all_sym.dst, reach1.r FROM all_sym JOIN reach1 ON all_sym.src = reach1.node
+)
+SELECT node AS conv_id, min(r) AS cluster_id FROM reach1 GROUP BY node ORDER BY conv_id
+"""
+
+
 def q_term_coercion(spark, sf_dir):
     """P14 term → attribute coercion (Query.java:554-702): each term is
     trial-parsed per attribute type — digit terms route to BOTH the
@@ -1841,6 +1978,7 @@ def all_queries():
         "seeded_scope_exclude": q_seeded_scope_exclude,
         "seeded_scope_include": q_seeded_scope_include,
         "incremental_linkage": q_incremental_linkage,
+        "entity_closure": q_entity_closure,
         "term_coercion": q_term_coercion,
         "weight_gating": q_weight_gating,
         "per_field_or": q_per_field_or,
@@ -1890,6 +2028,7 @@ def all_oracles():
         "seeded_scope_exclude": SQL_SEEDED_SCOPE_EXCLUDE,
         "seeded_scope_include": SQL_SEEDED_SCOPE_INCLUDE,
         "incremental_linkage": SQL_INCREMENTAL_LINKAGE,
+        "entity_closure": SQL_ENTITY_CLOSURE,
         "term_coercion": SQL_TERM_COERCION,
         "weight_gating": SQL_WEIGHT_GATING,
         "per_field_or": SQL_PER_FIELD_OR,

@@ -269,11 +269,15 @@ def resolve_response(
     source_docs=None,
     include_error_trace: bool = True,
     pretty: bool = False,
+    _capture: dict | None = None,
 ) -> str:
     """Run a seeded resolution and serialize the reference-shaped
     response. source_docs: optional (record_id → _source JSON) DataFrame
     for corpora ingested from raw documents — transcripts have no
-    original `_source` to echo."""
+    original `_source` to echo. _capture: optional dict the caller can
+    pass to receive the resolve() internals (notably query_log — the
+    per-hop audit rows incl. timed_out), e.g. for committing bulk-item
+    audit rows to the metrics table."""
     from pyspark.sql import functions as F
 
     from zentity_spark.resolve import SeededConfig, resolve
@@ -283,7 +287,7 @@ def resolve_response(
     config.include_score = config.include_score or include_score
 
     t0 = time.time()
-    capture: dict = {}
+    capture: dict = _capture if _capture is not None else {}
     try:
         hits = resolve(spark, turns, model, input, config, _capture=capture)
     except Exception as e:  # noqa: BLE001 — error envelope is the contract
