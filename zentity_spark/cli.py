@@ -10,7 +10,11 @@ Usage (north_rule launch shape):
                --attributes '{"name": ["alice jones"]}' [--max-hops 5]
 
 `batch` runs the snapshot-committed resolve-all pipeline (resumable);
-`resolve` runs a seeded single-entity traversal and prints hits as JSON.
+`resolve` runs a seeded single-entity traversal and prints hits as JSON;
+`bulk` runs the NDJSON bulk-resolution body; `models` manages the
+entity-model store (get/list/create/update/delete/bulk/setup,
+ModelsAction.java:86-99 + SetupAction.java:43-91); `home` prints the
+engine metadata body.
 """
 
 from __future__ import annotations

@@ -249,9 +249,11 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         )
         _commit_once(store, values_new, "values", "values", fp,
                      partition_by=["rb"])
-        new_ids = batch_turns.select(
-            F.col("conv_id").alias("record_id")
-        ).distinct().localCheckpoint()
+        # only records that PRODUCE values enter the corpus — batch
+        # parity: resolve_all's clusters cover build_records(values)
+        # output, and a turns-only conversation with no extractable
+        # values is not a record
+        new_ids = values_new.select("record_id").distinct().localCheckpoint()
         _commit_once(store, new_ids, "record_ids", "record_ids", fp)
 
         # records for the NEW ids only (old+new values merged for a
