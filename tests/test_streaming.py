@@ -234,3 +234,39 @@ def test_incremental_resolve_scan_is_batch_proportional(spark, tmp_path):
     assert by_id["new1"] == by_id["big3"]
     assert sum(1 for v in by_id.values() if v == by_id["new2"]) == 1
     assert len(by_id) == n_corpus + 2
+
+
+def test_incremental_resolve_valueless_batch(spark, tmp_path):
+    """A micro-batch whose turns yield no extractable values (no
+    FIELD=VALUE text) must not crash the incremental path and must not
+    add records: clusters stay exactly the valued corpus."""
+    from zentity_spark.model import Model
+    from zentity_spark.storage import SnapshotStore
+    from zentity_spark.streaming import incremental_resolve, read_turn_stream
+
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts string")
+    valued = [("v1", 0, "user", "key=1", None, "2024-01-01 00:00:00"),
+              ("v2", 0, "user", "key=1", None, "2024-01-01 00:00:00")]
+    filler = [("f1", 0, "assistant", "no attributes here", None,
+               "2024-01-02 00:00:00")]
+    in_dir = str(tmp_path / "in")
+    df_a = spark.createDataFrame(valued, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    df_b = spark.createDataFrame(filler, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    df_a.coalesce(1).write.parquet(in_dir, mode="overwrite")
+    df_b.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = read_turn_stream(spark, in_dir, max_files_per_trigger=1)
+    out_root = str(tmp_path / "inc")
+    q = incremental_resolve(spark, stream, Model(MODEL), out_root,
+                            checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(240)
+
+    store = SnapshotStore(out_root)
+    assert len({s["fingerprint"] for s in store.snapshots("clusters")}) == 2
+    clusters = {r["record_id"]: r["cluster_id"]
+                for r in store.read(spark, "clusters").collect()}
+    assert set(clusters) == {"v1", "v2"}  # f1 is not a record
+    assert clusters["v1"] == clusters["v2"]

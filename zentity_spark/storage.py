@@ -76,7 +76,11 @@ class SnapshotStore:
         writer.parquet(data_path)
 
         spark = df.sparkSession
-        rows = spark.read.parquet(data_path).count()
+        # Read back with the writer's schema: an empty partitioned write
+        # leaves no part files, so schema inference would fail (Iceberg
+        # keeps the schema in table metadata for the same reason).
+        schema_json = df.schema.json()
+        rows = spark.read.schema(df.schema).parquet(data_path).count()
         seq = len(self.snapshots(table))
         manifest = {
             "snapshot_id": snap_id,
@@ -86,6 +90,7 @@ class SnapshotStore:
             "fingerprint": fingerprint,
             "data_path": data_path,
             "rows": rows,
+            "schema": schema_json,
             "committed_at": time.time(),
             **(extra or {}),
         }
@@ -101,7 +106,17 @@ class SnapshotStore:
         snap = self.latest(table, fingerprint)
         if snap is None:
             return None
-        return spark.read.parquet(snap["data_path"])
+        return self._read_snapshot(spark, snap)
+
+    @staticmethod
+    def _read_snapshot(spark: SparkSession, snap: dict,
+                       extra_paths: list[str] | None = None) -> DataFrame:
+        reader = spark.read
+        if snap.get("schema"):  # empty snapshots have no files to infer from
+            from pyspark.sql.types import StructType
+            reader = reader.schema(
+                StructType.fromJson(json.loads(snap["schema"])))
+        return reader.parquet(snap["data_path"], *(extra_paths or []))
 
     def read_all(self, spark: SparkSession, table: str) -> DataFrame | None:
         """Union of every committed snapshot — append semantics, used for
@@ -109,7 +124,8 @@ class SnapshotStore:
         snaps = self.snapshots(table)
         if not snaps:
             return None
-        return spark.read.parquet(*[s["data_path"] for s in snaps])
+        return self._read_snapshot(
+            spark, snaps[-1], [s["data_path"] for s in snaps[:-1]])
 
 
 def query_log_metrics(spark: SparkSession, query_log: list[dict],

@@ -260,10 +260,15 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         # conversation spanning batches; attr_name_fields presence for
         # weighted models is taken from the current batch's turns)
         records_new, values_scan_rows = rebuild_records(new_ids, parsed_batch)
-        keys_new = blocking_keys(
-            records_new, compiled,
-            max_keys_per_record=config.max_keys_per_record,
-        ).localCheckpoint()
+        if records_new is None:  # batch produced no valued records
+            keys_new = spark.createDataFrame(
+                [], "resolver string, ckey long, record_id string"
+            )
+        else:
+            keys_new = blocking_keys(
+                records_new, compiled,
+                max_keys_per_record=config.max_keys_per_record,
+            ).localCheckpoint()
         _commit_once(store, keys_new.withColumn("kb", bucket_of("ckey")),
                      "blkeys", "blkeys", fp, partition_by=["kb"])
 
@@ -277,6 +282,10 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             .distinct().collect()
         ]
         keys_scan = _read_bucket_dirs(spark, store, "blkeys", "kb", touched_kbs)
+        if keys_scan is None:  # batch produced no blocking keys at all
+            keys_scan = spark.createDataFrame(
+                [], "resolver string, ckey long, record_id string"
+            )
         keys_scan_rows = keys_scan.count() if metrics else None
         block_rows = keys_scan.join(
             F.broadcast(touched), ["resolver", "ckey"], "left_semi"
