@@ -273,7 +273,7 @@ def main():
         scaling_summary = {
             k: scaling[k]
             for k in ("levels", "pinned", "efficiency", "measured_at",
-                      "cached", "probe_error",
+                      "cached", "probe_error", "best_window",
                       *(f"throughput_local{n}" for n in scaling.get("levels", [])))
             if k in scaling
         }

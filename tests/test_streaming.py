@@ -169,8 +169,14 @@ def test_incremental_resolve_converges(spark, tmp_path):
     assert got == expect
     assert {frozenset(x) for x in [{"c1", "c2", "c3"}, {"c4", "c5"}, {"c6"}]} == got
 
-    # ran as MULTIPLE micro-batches (maxFilesPerTrigger=1, two files)
-    fps = {s["fingerprint"] for s in store.snapshots("values")}
+    # ran as MULTIPLE micro-batches (maxFilesPerTrigger=1, two files) —
+    # read the full snapshot history: maintenance may have merged the
+    # live list, but replaced manifests keep the per-batch fingerprints
+    fps = {
+        s["fingerprint"]
+        for s in store.snapshots("values", include_replaced=True)
+        if s["fingerprint"].startswith("batch-")
+    }
     assert len(fps) >= 2
 
 

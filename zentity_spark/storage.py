@@ -41,7 +41,12 @@ class SnapshotStore:
     def _table_dir(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def snapshots(self, table: str) -> list[dict]:
+    def snapshots(self, table: str, include_replaced: bool = False) -> list[dict]:
+        """Live snapshots in commit order. A compaction snapshot carries
+        `replaces: [snapshot ids]`; the snapshots it replaced stay on
+        disk as history (their manifests witness committed fingerprints
+        for replay idempotence) but are hidden from reads — Iceberg's
+        rewrite_data_files semantics."""
         snap_dir = os.path.join(self._table_dir(table), "snapshots")
         if not os.path.isdir(snap_dir):
             return []
@@ -50,13 +55,27 @@ class SnapshotStore:
             if fn.endswith(".json"):
                 with open(os.path.join(snap_dir, fn)) as fh:
                     out.append(json.load(fh))
-        return out
+        if include_replaced:
+            return out
+        replaced = {sid for s in out for sid in s.get("replaces", [])}
+        return [s for s in out if s["snapshot_id"] not in replaced]
 
     def latest(self, table: str, fingerprint: str | None = None) -> dict | None:
         snaps = self.snapshots(table)
         if fingerprint is not None:
             snaps = [s for s in snaps if s.get("fingerprint") == fingerprint]
         return snaps[-1] if snaps else None
+
+    def contains_fingerprint(self, table: str, fingerprint: str) -> bool:
+        """True if `fingerprint` was EVER committed, even if its snapshot
+        was later compacted away — the correct replay-idempotence probe
+        for streaming: a replayed micro-batch whose snapshot got
+        compacted must not re-append (the compacted snapshot already
+        holds its rows)."""
+        return any(
+            s.get("fingerprint") == fingerprint
+            for s in self.snapshots(table, include_replaced=True)
+        )
 
     def commit(self, df: DataFrame, table: str, stage: str,
                fingerprint: str = "", extra: dict | None = None,
@@ -81,7 +100,12 @@ class SnapshotStore:
         # keeps the schema in table metadata for the same reason).
         schema_json = df.schema.json()
         rows = spark.read.schema(df.schema).parquet(data_path).count()
-        seq = len(self.snapshots(table))
+        # next sequence from manifest FILES (not live snapshots: replaced
+        # manifests stay on disk, and reusing their number would clobber)
+        seq = 1 + max(
+            (s["sequence"] for s in self.snapshots(table, include_replaced=True)),
+            default=-1,
+        )
         manifest = {
             "snapshot_id": snap_id,
             "sequence": seq,
@@ -109,14 +133,26 @@ class SnapshotStore:
         return self._read_snapshot(spark, snap)
 
     @staticmethod
-    def _read_snapshot(spark: SparkSession, snap: dict,
-                       extra_paths: list[str] | None = None) -> DataFrame:
+    def _read_snapshot(spark: SparkSession, snap: dict) -> DataFrame:
         reader = spark.read
         if snap.get("schema"):  # empty snapshots have no files to infer from
             from pyspark.sql.types import StructType
             reader = reader.schema(
                 StructType.fromJson(json.loads(snap["schema"])))
-        return reader.parquet(snap["data_path"], *(extra_paths or []))
+        return reader.parquet(snap["data_path"])
+
+    def _read_union(self, spark: SparkSession, snaps: list[dict]) -> DataFrame:
+        """Union snapshots one root at a time: a multi-path read of
+        partitioned snapshot dirs trips Spark's partition discovery
+        (CONFLICTING_DIRECTORY_STRUCTURES — each root is its own table
+        layout). Snapshot count is bounded by maintain()'s geometric
+        invariant, so the union stays O(log) wide."""
+        from functools import reduce
+
+        return reduce(
+            DataFrame.unionByName,
+            [self._read_snapshot(spark, s) for s in snaps],
+        )
 
     def read_all(self, spark: SparkSession, table: str) -> DataFrame | None:
         """Union of every committed snapshot — append semantics, used for
@@ -124,8 +160,71 @@ class SnapshotStore:
         snaps = self.snapshots(table)
         if not snaps:
             return None
-        return self._read_snapshot(
-            spark, snaps[-1], [s["data_path"] for s in snaps[:-1]])
+        return self._read_union(spark, snaps)
+
+    def compact(self, spark: SparkSession, table: str,
+                partition_by: list[str] | None = None,
+                min_snapshots: int = 2, expire_data: bool = True,
+                snapshots: list[dict] | None = None) -> dict | None:
+        """Rewrite live snapshots (default: all) of an append table into
+        ONE (Iceberg rewrite_data_files + expire_snapshots). Long-running
+        streams append a snapshot per micro-batch, so without
+        maintenance the per-read file count — and _read_bucket_dirs's
+        per-snapshot path listing — grows without bound.
+
+        Crash safety: the commit point is the compacted snapshot's
+        manifest rename, which atomically carries `replaces`; a crash
+        before it leaves the table untouched, a crash after it (mid
+        data-dir expiry) leaves unreadable orphan dirs, exactly
+        Iceberg's expire contract. Replaced manifests stay on disk so
+        contains_fingerprint still witnesses every committed batch."""
+        snaps = self.snapshots(table) if snapshots is None else snapshots
+        if len(snaps) < min_snapshots:
+            return None
+        df = self._read_union(spark, snaps)
+        manifest = self.commit(
+            df, table, stage="compact",
+            fingerprint=f"compact-{snaps[-1]['sequence']}",
+            extra={"replaces": [s["snapshot_id"] for s in snaps],
+                   "replaced_fingerprints": [s.get("fingerprint", "")
+                                             for s in snaps]},
+            partition_by=partition_by,
+        )
+        if expire_data:
+            import shutil
+
+            for s in snaps:
+                shutil.rmtree(s["data_path"], ignore_errors=True)
+        return manifest
+
+    def maintain(self, spark: SparkSession, table: str,
+                 partition_by: list[str] | None = None,
+                 expire_data: bool = True) -> list[dict]:
+        """Logarithmic merge maintenance (Bentley–Saxe / LSM
+        size-tiering): restore the geometric invariant that every live
+        snapshot holds at least as many rows as ALL snapshots committed
+        after it combined, by merging the longest violating suffix and
+        cascading. Live snapshot count stays O(log total rows) and each
+        row is rewritten O(log total) times over the table's lifetime —
+        unlike periodic full compaction, whose amortized per-batch cost
+        is corpus-proportional. Safe to call every micro-batch: it's a
+        manifest-listing no-op while the invariant holds."""
+        merged = []
+        while True:
+            live = self.snapshots(table)
+            cut = next(
+                (i for i in range(len(live) - 1)
+                 # max(rows,1): zero-row snapshots (valueless batches)
+                 # must still merge away instead of piling up
+                 if max(live[i]["rows"], 1)
+                 < sum(max(s["rows"], 1) for s in live[i + 1:])),
+                None,
+            )
+            if cut is None:
+                return merged
+            merged.append(self.compact(
+                spark, table, partition_by=partition_by,
+                expire_data=expire_data, snapshots=live[cut:]))
 
 
 def query_log_metrics(spark: SparkSession, query_log: list[dict],

@@ -154,8 +154,9 @@ def _commit_once(store, df: DataFrame, table: str, stage: str, fp: str,
     """Idempotent append: a replayed micro-batch (crash between this
     table's commit and a later one) must not append a second snapshot
     with the same fingerprint — read_all unions snapshots, so a double
-    commit would duplicate rows."""
-    if store.latest(table, fingerprint=fp) is None:
+    commit would duplicate rows. contains_fingerprint (not latest):
+    a batch whose snapshot was compacted away is still committed."""
+    if not store.contains_fingerprint(table, fp):
         store.commit(df, table, stage=stage, fingerprint=fp,
                      partition_by=partition_by)
 
@@ -163,7 +164,8 @@ def _commit_once(store, df: DataFrame, table: str, stage: str, fp: str,
 def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
                         output_root: str, config=None,
                         checkpoint_dir: str | None = None,
-                        n_buckets: int = 64, metrics: bool = True):
+                        n_buckets: int = 64, metrics: bool = True,
+                        maintain_every: int | None = 1):
     """Incremental record linkage via foreachBatch — O(batch) per
     micro-batch, not O(corpus). Committed tables (append snapshots):
 
@@ -206,7 +208,12 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
     table is snapshot-committed with the batch id as fingerprint, so a
     restarted stream (same checkpoint dir) replays the uncommitted tail
     and per-table fingerprint checks make re-commits idempotent even
-    mid-batch (crash between commits)."""
+    mid-batch (crash between commits). Every `maintain_every` batches
+    the append tables get logarithmic merge maintenance (Bentley–Saxe:
+    merge snapshots until each holds ≥ the rows of everything committed
+    after it), bounding live snapshots at O(log corpus) with O(log)
+    amortized rewrites per row; replaced manifests remain as fingerprint
+    history so replay idempotence survives compaction."""
     from zentity_spark.blocking import blocking_keys, candidate_pairs
     from zentity_spark.compiler import compile_model
     from zentity_spark.model import Model
@@ -240,7 +247,7 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
 
     def process_batch(batch_turns, batch_id: int):
         fp = f"batch-{batch_id}"
-        if store.latest("clusters", fingerprint=fp) is not None:
+        if store.contains_fingerprint("clusters", fp):
             return  # replayed batch after restart: fully committed
         batch_turns = batch_turns.localCheckpoint()
         parsed_batch = parse_turns(batch_turns)
@@ -331,6 +338,19 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             _commit_once(store, m, "stream_metrics", "stream_metrics", fp)
         # clusters LAST: its fingerprint is the batch-completion marker
         _commit_once(store, clusters, "clusters", "clusters", fp)
+        # Table maintenance (Iceberg rewrite_data_files analog): without
+        # it, a long-running stream's append tables accumulate one
+        # snapshot per micro-batch and per-batch reads degrade with
+        # STREAM AGE, not batch size. Logarithmic merging keeps live
+        # snapshots O(log corpus) at O(log) amortized rewrites per row
+        # (PLANS.md rule 15). Runs after the completion marker: it moves
+        # bytes, never rows, so a crash mid-maintenance replays as a
+        # no-op batch and a later trigger restores the invariant.
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            for tbl, pb in (("values", ["rb"]), ("blkeys", ["kb"]),
+                            ("edges", None), ("record_ids", None),
+                            ("stream_metrics", None)):
+                store.maintain(spark, tbl, partition_by=pb)
 
     writer = stream_turns.writeStream.foreachBatch(process_batch)
     if checkpoint_dir is not None:
