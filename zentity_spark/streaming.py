@@ -161,11 +161,29 @@ def _commit_once(store, df: DataFrame, table: str, stage: str, fp: str,
                      partition_by=partition_by)
 
 
+def current_assignments(spark: SparkSession, store) -> DataFrame | None:
+    """Materialize the full (record_id, cluster_id) view from a
+    delta-mode assign log: last-wins per record by seq (batch id).
+    This is the consumer-side O(corpus) materialization, run ON DEMAND —
+    the point of delta mode is that no per-batch work is corpus-sized."""
+    from pyspark.sql.window import Window
+
+    log = store.read_all(spark, "assign")
+    if log is None:
+        return None
+    w = Window.partitionBy("record_id").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1).select("record_id", "cluster_id")
+    )
+
+
 def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
                         output_root: str, config=None,
                         checkpoint_dir: str | None = None,
                         n_buckets: int = 64, metrics: bool = True,
-                        maintain_every: int | None = 1):
+                        maintain_every: int | None = 1,
+                        clusters_mode: str = "full"):
     """Incremental record linkage via foreachBatch — O(batch) per
     micro-batch, not O(corpus). Committed tables (append snapshots):
 
@@ -192,14 +210,28 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
          ≥1 new side → match material fetched by id for TOUCHED pair
          ids only (bucket-pruned values scan) → verified → edges
          appended;
-      4. connected components recomputed over the accumulated edge set
-         (CC input is edges — orders of magnitude smaller than the
-         corpus) → `clusters` snapshot.
+      4. clusters_mode="full" (default): connected components recomputed
+         over the accumulated edge set (CC input is edges — orders of
+         magnitude smaller than the corpus) → corpus-sized `clusters`
+         snapshot per batch.
+         clusters_mode="delta": incremental union-find instead — the
+         batch's new edges are contracted to CLUSTER-id edges (current
+         ids fetched by bucket-pruned last-wins read of the `assign`
+         delta log), a batch-sized CC merges components, and only the
+         members of LOSING components (reverse-looked-up through the
+         cid-bucketed `cmembers` index) plus the batch's new records
+         get delta rows appended. Per-batch write ∝ |touched
+         components|, never corpus-sized; consumers materialize the
+         full view on demand via current_assignments(). Cluster ids
+         stay min-record-id (min of merged minima = global min), exact
+         id parity with the batch path. A store must be run in ONE mode
+         for its lifetime.
 
     Nothing in steps 1-3 scans, shuffles, or recomputes the accumulated
-    corpus: per-batch work ∝ |batch| × blocking fan-out. The committed
-    clusters output (step 4) is corpus-sized by definition; its CC input
-    is the edge set. On a real cluster the three bucketed tables map to
+    corpus: per-batch work ∝ |batch| × blocking fan-out. In full mode
+    the committed clusters output (step 4) is corpus-sized by
+    definition (its CC input is the edge set); delta mode removes that
+    last corpus-proportional per-batch cost too. On a real cluster the three bucketed tables map to
     Iceberg bucket-transform partitioning (bucket(N, record_id) /
     bucket(N, ckey)) with the same pruning; n_buckets=64 suits local
     tests — size it so bucket ≫ executor count at production scale.
@@ -215,6 +247,7 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
     amortized rewrites per row; replaced manifests remain as fingerprint
     history so replay idempotence survives compaction."""
     from zentity_spark.blocking import blocking_keys, candidate_pairs
+    from zentity_spark.clustering import connected_components
     from zentity_spark.compiler import compile_model
     from zentity_spark.model import Model
     from zentity_spark.pairs import gate_edges, verify_pairs
@@ -222,6 +255,8 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
     from zentity_spark.storage import SnapshotStore
     from zentity_spark.transcripts import build_records, build_values, parse_turns
 
+    if clusters_mode not in ("full", "delta"):
+        raise ValueError(f"clusters_mode must be full|delta: {clusters_mode}")
     config = config or ResolutionConfig()
     compiled = model if not isinstance(model, Model) else compile_model(model)
     store = SnapshotStore(output_root)
@@ -245,9 +280,105 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         vals = vals.join(ids, "record_id", "left_semi")
         return build_records(vals, compiled, parsed_batch), scan_rows
 
+    def assign_current_for(ids: DataFrame):
+        """CURRENT cluster id per requested record (delta mode):
+        bucket-pruned last-wins read of the assign log; a record with
+        no row yet is its own singleton."""
+        from pyspark.sql.window import Window
+
+        buckets = [
+            r[0] for r in ids.select(bucket_of("record_id").alias("b"))
+            .distinct().collect()
+        ]
+        scan = _read_bucket_dirs(spark, store, "assign", "rb", buckets)
+        if scan is None:
+            return ids.withColumn("cluster_id", F.col("record_id")), 0
+        scan_rows = scan.count() if metrics else None
+        w = Window.partitionBy("record_id").orderBy(F.col("seq").desc())
+        cur = (
+            scan.join(ids, "record_id", "left_semi")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).select("record_id", "cluster_id")
+        )
+        return (
+            ids.join(cur, "record_id", "left")
+            .withColumn("cluster_id",
+                        F.coalesce("cluster_id", F.col("record_id")))
+        ), scan_rows
+
+    def delta_assignments(edges_new: DataFrame, new_ids: DataFrame,
+                          batch_id: int, fp: str):
+        """Incremental union-find over the assign/cmembers delta logs.
+        Invariants that make the reverse lookup verification-free:
+        (a) every record's FIRST delta row lands under its initial
+        cluster id, so live clusters always have complete cmembers
+        rows; (b) when components merge, every member of each losing
+        cluster is re-pointed at the root, so the losing id is dead
+        forever — rows filed under a dead id can never be matched
+        again (remap keys are CURRENT ids only). Hence no stale row is
+        ever read back as current."""
+        touched = (
+            edges_new.select(F.col("id_l").alias("record_id"))
+            .unionByName(edges_new.select(F.col("id_r").alias("record_id")))
+            .unionByName(new_ids).distinct().localCheckpoint()
+        )
+        cur, assign_scan_rows = assign_current_for(touched)
+        cur = cur.localCheckpoint()
+        cid_l = cur.select(F.col("record_id").alias("id_l"),
+                           F.col("cluster_id").alias("src"))
+        cid_r = cur.select(F.col("record_id").alias("id_r"),
+                           F.col("cluster_id").alias("dst"))
+        cid_edges = (
+            edges_new.join(cid_l, "id_l").join(cid_r, "id_r")
+            .select("src", "dst").where(F.col("src") != F.col("dst"))
+        )
+        # batch-sized CC on the contracted component graph: min of the
+        # merged minima == min record id of the merged component, so
+        # ids stay exactly the batch path's convention
+        comp = connected_components(cid_edges, config.cc_max_iterations)
+        remap = (
+            comp.where(F.col("record_id") != F.col("cluster_id"))
+            .select(F.col("record_id").alias("old_cid"),
+                    F.col("cluster_id").alias("new_cid")).localCheckpoint()
+        )
+        lose_buckets = [
+            r[0] for r in remap.select(bucket_of("old_cid").alias("b"))
+            .distinct().collect()
+        ]
+        members = _read_bucket_dirs(spark, store, "cmembers", "cb", lose_buckets)
+        if members is None:
+            moved = spark.createDataFrame([], "record_id string, cluster_id string")
+        else:
+            moved = (
+                members.select(F.col("cluster_id").alias("old_cid"), "record_id")
+                .join(F.broadcast(remap), "old_cid")
+                .select("record_id", F.col("new_cid").alias("cluster_id"))
+            )
+        # every NEW record gets its first row (root if its component
+        # merged, else its current/singleton id)
+        fresh = (
+            cur.join(new_ids, "record_id", "left_semi")
+            .select("record_id", F.col("cluster_id").alias("old_cid"))
+            .join(F.broadcast(remap), "old_cid", "left")
+            .select("record_id",
+                    F.coalesce("new_cid", "old_cid").alias("cluster_id"))
+        )
+        delta = (
+            moved.unionByName(fresh).dropDuplicates(["record_id"])
+            .withColumn("seq", F.lit(int(batch_id)).cast("long"))
+            .localCheckpoint()
+        )
+        _commit_once(store, delta.withColumn("rb", bucket_of("record_id")),
+                     "assign", "assign", fp, partition_by=["rb"])
+        _commit_once(store, delta.withColumn("cb", bucket_of("cluster_id")),
+                     "cmembers", "cmembers", fp, partition_by=["cb"])
+        return delta.count(), assign_scan_rows
+
+    marker_table = "clusters" if clusters_mode == "full" else "batch_done"
+
     def process_batch(batch_turns, batch_id: int):
         fp = f"batch-{batch_id}"
-        if store.contains_fingerprint("clusters", fp):
+        if store.contains_fingerprint(marker_table, fp):
             return  # replayed batch after restart: fully committed
         batch_turns = batch_turns.localCheckpoint()
         parsed_batch = parse_turns(batch_turns)
@@ -321,10 +452,21 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             edges_new = gate_edges(pairs, compiled).select("id_l", "id_r")
         _commit_once(store, edges_new, "edges", "edges", fp)
 
-        edges_all = store.read_all(spark, "edges").dropDuplicates(["id_l", "id_r"])
-        all_ids = store.read_all(spark, "record_ids").distinct()
-        clusters = _cluster_assignments(all_ids, edges_all,
-                                        config.cc_max_iterations)
+        if clusters_mode == "delta":
+            delta_rows, assign_scan_rows = delta_assignments(
+                edges_new, new_ids, batch_id, fp)
+            if metrics:
+                am = spark.createDataFrame(
+                    [(int(batch_id), int(delta_rows), int(assign_scan_rows or 0))],
+                    "batch_id long, delta_rows long, assign_scan_rows long",
+                )
+                _commit_once(store, am, "assign_metrics", "assign_metrics", fp)
+        else:
+            edges_all = store.read_all(spark, "edges").dropDuplicates(
+                ["id_l", "id_r"])
+            all_ids = store.read_all(spark, "record_ids").distinct()
+            clusters = _cluster_assignments(all_ids, edges_all,
+                                            config.cc_max_iterations)
         if metrics:
             batch_rows = batch_turns.count()
             m = spark.createDataFrame(
@@ -336,8 +478,13 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
                 " values_scan_rows long, keys_scan_rows long",
             )
             _commit_once(store, m, "stream_metrics", "stream_metrics", fp)
-        # clusters LAST: its fingerprint is the batch-completion marker
-        _commit_once(store, clusters, "clusters", "clusters", fp)
+        # completion marker LAST: full mode's corpus snapshot, or delta
+        # mode's tiny batch_done row
+        if clusters_mode == "full":
+            _commit_once(store, clusters, "clusters", "clusters", fp)
+        else:
+            done = spark.createDataFrame([(int(batch_id),)], "batch_id long")
+            _commit_once(store, done, "batch_done", "batch_done", fp)
         # Table maintenance (Iceberg rewrite_data_files analog): without
         # it, a long-running stream's append tables accumulate one
         # snapshot per micro-batch and per-batch reads degrade with
@@ -347,9 +494,13 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         # bytes, never rows, so a crash mid-maintenance replays as a
         # no-op batch and a later trigger restores the invariant.
         if maintain_every and (batch_id + 1) % maintain_every == 0:
-            for tbl, pb in (("values", ["rb"]), ("blkeys", ["kb"]),
-                            ("edges", None), ("record_ids", None),
-                            ("stream_metrics", None)):
+            tables = [("values", ["rb"]), ("blkeys", ["kb"]),
+                      ("edges", None), ("record_ids", None),
+                      ("stream_metrics", None)]
+            if clusters_mode == "delta":
+                tables += [("assign", ["rb"]), ("cmembers", ["cb"]),
+                           ("assign_metrics", None), ("batch_done", None)]
+            for tbl, pb in tables:
                 store.maintain(spark, tbl, partition_by=pb)
 
     writer = stream_turns.writeStream.foreachBatch(process_batch)
