@@ -871,7 +871,7 @@ TERM_MODEL = {
 }
 
 
-def q_incremental_linkage(spark, sf_dir):
+def _run_incremental_linkage(spark, sf_dir, clusters_mode: str):
     """Streaming foreachBatch incremental linkage (streaming.py
     incremental_resolve) converges to the BATCH clustering: the sparse
     error-transcript corpus arrives as three micro-batch files
@@ -888,7 +888,11 @@ def q_incremental_linkage(spark, sf_dir):
 
     from zentity_spark.model import Model
     from zentity_spark.storage import SnapshotStore
-    from zentity_spark.streaming import incremental_resolve, read_turn_stream
+    from zentity_spark.streaming import (
+        current_assignments,
+        incremental_resolve,
+        read_turn_stream,
+    )
 
     turns = transcripts_from_events_sparse(spark, sf_dir).withColumn(
         "ts", F.col("ts").cast("timestamp")
@@ -912,12 +916,31 @@ def q_incremental_linkage(spark, sf_dir):
         Model(SEEDED_MODEL),
         os.path.join(tmp, "out"),
         checkpoint_dir=os.path.join(tmp, "ck"),
+        clusters_mode=clusters_mode,
     )
     q.awaitTermination()
-    clusters = SnapshotStore(os.path.join(tmp, "out")).read(spark, "clusters")
+    store = SnapshotStore(os.path.join(tmp, "out"))
+    if clusters_mode == "delta":
+        clusters = current_assignments(spark, store)
+    else:
+        clusters = store.read(spark, "clusters")
     return clusters.select(
         F.col("record_id").alias("conv_id"), "cluster_id"
     ).orderBy("conv_id")
+
+
+def q_incremental_linkage(spark, sf_dir):
+    return _run_incremental_linkage(spark, sf_dir, "full")
+
+
+def q_incremental_linkage_delta(spark, sf_dir):
+    """Same end-state contract as incremental_linkage, but with
+    clusters_mode="delta" (streaming.py delta_assignments): assignments
+    maintained as an incremental union-find over bucketed delta logs —
+    per-batch write ∝ touched components — then materialized once via
+    current_assignments. Must hash-equal the same recursive-CTE
+    connected-components oracle (exact min-record-id cluster ids)."""
+    return _run_incremental_linkage(spark, sf_dir, "delta")
 
 
 SQL_INCREMENTAL_LINKAGE = f"""
@@ -1978,6 +2001,7 @@ def all_queries():
         "seeded_scope_exclude": q_seeded_scope_exclude,
         "seeded_scope_include": q_seeded_scope_include,
         "incremental_linkage": q_incremental_linkage,
+        "incremental_linkage_delta": q_incremental_linkage_delta,
         "entity_closure": q_entity_closure,
         "term_coercion": q_term_coercion,
         "weight_gating": q_weight_gating,
@@ -2028,6 +2052,7 @@ def all_oracles():
         "seeded_scope_exclude": SQL_SEEDED_SCOPE_EXCLUDE,
         "seeded_scope_include": SQL_SEEDED_SCOPE_INCLUDE,
         "incremental_linkage": SQL_INCREMENTAL_LINKAGE,
+        "incremental_linkage_delta": SQL_INCREMENTAL_LINKAGE,
         "entity_closure": SQL_ENTITY_CLOSURE,
         "term_coercion": SQL_TERM_COERCION,
         "weight_gating": SQL_WEIGHT_GATING,
