@@ -113,3 +113,79 @@ def test_delta_write_is_touched_proportional(spark, tmp_path):
     assert cur["new1"] == "big3" and cur["big3"] == "big3"  # min-id root
     assert cur["new2"] == "new2"
     assert sum(1 for v in cur.values() if v == "big3") == 2
+
+
+def _drop_manifest(store, table, fingerprint):
+    import json
+    import os
+
+    snap_dir = os.path.join(store.root, table, "snapshots")
+    for fn in os.listdir(snap_dir):
+        if not fn.endswith(".json"):
+            continue
+        path = os.path.join(snap_dir, fn)
+        with open(path) as fh:
+            if json.load(fh).get("fingerprint") == fingerprint:
+                os.unlink(path)
+                return True
+    return False
+
+
+def test_delta_crash_between_cmembers_and_assign(spark, tmp_path):
+    """The delta commit protocol's crash window: cmembers committed,
+    assign (and everything after) not. Replay must recompute the SAME
+    delta — and afterwards the reverse-index invariant must hold: every
+    current member of a live cluster has a cmembers row under that id
+    (a violation here silently loses members from FUTURE merges)."""
+    rows = [
+        ("a1", 0, "user", "key=1", None, "2024-01-01 00:00:00"),
+        ("a2", 0, "user", "key=1", None, "2024-01-01 00:00:01"),
+        ("b1", 0, "user", "key=2", None, "2024-01-01 00:00:02"),
+        # batch 2: b1 bridges into {a1,a2} via a shared key
+        ("c1", 0, "user", "key=1", None, "2024-01-02 00:00:00"),
+        ("c1", 1, "user", "key=2", None, "2024-01-02 00:00:01"),
+        # batch 3 (post-recovery): merges into the same component —
+        # correctness depends on cmembers rows written during recovery
+        ("d1", 0, "user", "key=2", None, "2024-01-03 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, TURN_SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    in_dir = str(tmp_path / "in")
+    for group in (["a1", "a2", "b1"], ["c1"]):
+        (df.where(F.col("conv_id").isin(group)).coalesce(1)
+         .write.mode("append").parquet(in_dir))
+
+    out_root = str(tmp_path / "inc")
+    stream = read_turn_stream(spark, in_dir, max_files_per_trigger=1)
+    q = incremental_resolve(spark, stream, Model(MODEL), out_root,
+                            checkpoint_dir=str(tmp_path / "ck"),
+                            clusters_mode="delta")
+    q.awaitTermination(300)
+
+    store = SnapshotStore(out_root)
+    # simulate the crash: batch-1 ran through the cmembers commit only
+    for table in ("assign", "assign_metrics", "stream_metrics", "batch_done"):
+        assert _drop_manifest(store, table, "batch-1"), table
+    assert store.contains_fingerprint("cmembers", "batch-1")
+
+    # recovery replay (fresh checkpoint) + the post-recovery batch 3
+    (df.where(F.col("conv_id") == "d1").coalesce(1)
+     .write.mode("append").parquet(in_dir))
+    stream2 = read_turn_stream(spark, in_dir, max_files_per_trigger=1)
+    q2 = incremental_resolve(spark, stream2, Model(MODEL), out_root,
+                             checkpoint_dir=str(tmp_path / "ck2"),
+                             clusters_mode="delta")
+    q2.awaitTermination(300)
+
+    cur = {r["record_id"]: r["cluster_id"]
+           for r in current_assignments(spark, store).collect()}
+    assert cur == {k: "a1" for k in ("a1", "a2", "b1", "c1", "d1")}
+    # invariant (a): every current member has a cmembers row under its
+    # current cluster id
+    members = {
+        (r["cluster_id"], r["record_id"])
+        for r in store.read_all(spark, "cmembers")
+        .select("cluster_id", "record_id").collect()
+    }
+    for rec, cid in cur.items():
+        assert (cid, rec) in members, (rec, cid)

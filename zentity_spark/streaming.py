@@ -368,10 +368,18 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             .withColumn("seq", F.lit(int(batch_id)).cast("long"))
             .localCheckpoint()
         )
-        _commit_once(store, delta.withColumn("rb", bucket_of("record_id")),
-                     "assign", "assign", fp, partition_by=["rb"])
+        # COMMIT ORDER MATTERS: cmembers BEFORE assign. A crash between
+        # the two replays the batch; with assign still pre-batch the
+        # replay recomputes the identical delta (remap derives from the
+        # unmerged view), and the extra cmembers rows sit under WINNING
+        # ids, which this batch never reverse-looks-up. The opposite
+        # order would replay with the merge already visible in assign →
+        # remap empty → the moved members' cmembers rows silently never
+        # written, breaking invariant (a) for future merges.
         _commit_once(store, delta.withColumn("cb", bucket_of("cluster_id")),
                      "cmembers", "cmembers", fp, partition_by=["cb"])
+        _commit_once(store, delta.withColumn("rb", bucket_of("record_id")),
+                     "assign", "assign", fp, partition_by=["rb"])
         return delta.count(), assign_scan_rows
 
     marker_table = "clusters" if clusters_mode == "full" else "batch_done"
