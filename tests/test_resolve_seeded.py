@@ -413,6 +413,35 @@ def test_query_audit_log(spark, turns):
     assert [r["timed_out"] for r in mdf.collect()] == [False] * len(log)
 
 
+def test_query_audit_log_survives_failure(spark, turns, monkeypatch):
+    """A mid-traversal execution failure must not lose the audit rows
+    already logged: _capture shares the LIVE query_log list, so the
+    hops completed before the failure still reach the bulk/metrics
+    path (the items most worth auditing are the ones that fail)."""
+    import zentity_spark.resolve as R
+
+    orig = R._collect_with_budget
+    calls = {"n": 0}
+
+    def boom(df, budget_s, tag):
+        calls["n"] += 1
+        if calls["n"] > 3:  # fail partway through hop 1
+            raise RuntimeError("late executor failure")
+        return orig(df, budget_s, tag)
+
+    monkeypatch.setattr(R, "_collect_with_budget", boom)
+    capture = {}
+    with pytest.raises(RuntimeError, match="late executor failure"):
+        resolve(
+            spark, turns, model_a(),
+            Input(attributes={"attribute_a": ["a_00"]}, scope=SCOPE_ABC),
+            _capture=capture,
+        )
+    log = capture["query_log"]
+    assert len(log) == 3  # the three hop-0 queries completed and logged
+    assert all(q["hop"] == 0 for q in log)
+
+
 SCOPE_EXCL_INCL = {
     "exclude": {"attributes": {"attribute_c": ["c_00", "c_01"]}},
     "include": {

@@ -405,6 +405,10 @@ def resolve(
     # across items would let one item's watchdog cancel a sibling's jobs
     tag_prefix = f"zentity-seeded-{uuid.uuid4().hex}"
     query_log: list[dict] = []
+    if _capture is not None:
+        # share the LIVE list up front: a mid-traversal failure must not
+        # lose the hops already logged (bulk audits error items too)
+        _capture["query_log"] = query_log
     model.prune(input.scope)
     compiled = compile_model(model, input.attr_params())
 

@@ -178,6 +178,15 @@ def pair_feature_cols(text_l: Column, text_r: Column,
       letter-leading tokens, asserted in test_score_pairs)
     - token_jaccard: Jaccard of the whitespace token sets
       (array_intersect/array_union — JVM; both empty → 1.0)
+
+    Tokenization semantics are DEFINED as ASCII whitespace (Java regex
+    \\s, the same ASCII class — modulo \\x0B — as the RE2 \\s the
+    DuckDB oracle splits on) — this is the contract the oracle checks,
+    deliberately replacing the round-2 pandas implementation's Python
+    str.split() Unicode whitespace. Likewise soundex_eq of non-letter-leading tokens
+    follows F.soundex (returns the input's leading non-letter form)
+    rather than _soundex_py's digit-coercion; both sides use the same
+    function, so equality semantics shift only for digit-leading text.
     """
     l = F.coalesce(text_l, F.lit(""))
     r = F.coalesce(text_r, F.lit(""))

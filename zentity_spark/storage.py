@@ -37,6 +37,14 @@ class SnapshotStore:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # manifest cache: manifests are immutable once renamed into
+        # place, so each file is parsed at most once per store instance.
+        # Without this, every contains_fingerprint/commit/maintain call
+        # re-opens the FULL history — O(batches) JSON parses per call,
+        # O(batches²) over a stream's life (real Iceberg keeps this in
+        # its metadata tree). Listing still hits the directory, so
+        # manifests written by OTHER store instances are picked up.
+        self._manifest_cache: dict[str, dict[str, dict]] = {}
 
     def _table_dir(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -50,11 +58,18 @@ class SnapshotStore:
         snap_dir = os.path.join(self._table_dir(table), "snapshots")
         if not os.path.isdir(snap_dir):
             return []
+        cache = self._manifest_cache.setdefault(table, {})
+        names = sorted(fn for fn in os.listdir(snap_dir) if fn.endswith(".json"))
+        for stale in set(cache) - set(names):  # externally removed
+            del cache[stale]
         out = []
-        for fn in sorted(os.listdir(snap_dir)):
-            if fn.endswith(".json"):
+        for fn in names:
+            m = cache.get(fn)
+            if m is None:
                 with open(os.path.join(snap_dir, fn)) as fh:
-                    out.append(json.load(fh))
+                    m = json.load(fh)
+                cache[fn] = m
+            out.append(m)
         if include_replaced:
             return out
         replaced = {sid for s in out for sid in s.get("replaces", [])}

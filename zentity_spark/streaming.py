@@ -380,7 +380,7 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
                      "cmembers", "cmembers", fp, partition_by=["cb"])
         _commit_once(store, delta.withColumn("rb", bucket_of("record_id")),
                      "assign", "assign", fp, partition_by=["rb"])
-        return delta.count(), assign_scan_rows
+        return delta, assign_scan_rows
 
     marker_table = "clusters" if clusters_mode == "full" else "batch_done"
 
@@ -411,6 +411,10 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
                 [], "resolver string, ckey long, record_id string"
             )
         else:
+            # materialized once: consumed by blocking keys here and
+            # reused as pair match material below (avoids a second
+            # bucket scan + aggregation over the same new ids)
+            records_new = records_new.localCheckpoint()
             keys_new = blocking_keys(
                 records_new, compiled,
                 max_keys_per_record=config.max_keys_per_record,
@@ -446,26 +450,33 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             )
         ).dropDuplicates(["resolver", "id_l", "id_r"]).localCheckpoint()
 
-        # match material by id for TOUCHED pair ids only
+        # match material by id for TOUCHED pair ids only — new ids reuse
+        # the records already built above; only OLD partners hit the
+        # bucket-pruned values scan
         pair_ids = (
             cand.select(F.col("id_l").alias("record_id"))
             .unionByName(cand.select(F.col("id_r").alias("record_id")))
             .distinct()
         )
-        records_pairs, _ = rebuild_records(pair_ids, parsed_batch)
-        if records_pairs is None:
+        old_pair_ids = pair_ids.join(new_ids, "record_id", "left_anti")
+        records_old, _ = rebuild_records(old_pair_ids, parsed_batch)
+        parts = [r for r in (records_new, records_old) if r is not None]
+        if not parts:
             edges_new = spark.createDataFrame([], "id_l string, id_r string")
         else:
+            records_pairs = parts[0] if len(parts) == 1 else (
+                parts[0].unionByName(parts[1]))
             pairs = verify_pairs(cand, compiled, records_pairs)
             edges_new = gate_edges(pairs, compiled).select("id_l", "id_r")
         _commit_once(store, edges_new, "edges", "edges", fp)
 
         if clusters_mode == "delta":
-            delta_rows, assign_scan_rows = delta_assignments(
+            delta, assign_scan_rows = delta_assignments(
                 edges_new, new_ids, batch_id, fp)
-            if metrics:
+            if metrics:  # the count is observability-only work
                 am = spark.createDataFrame(
-                    [(int(batch_id), int(delta_rows), int(assign_scan_rows or 0))],
+                    [(int(batch_id), int(delta.count()),
+                      int(assign_scan_rows or 0))],
                     "batch_id long, delta_rows long, assign_scan_rows long",
                 )
                 _commit_once(store, am, "assign_metrics", "assign_metrics", fp)
