@@ -133,6 +133,17 @@ def test_incremental_resolve_with_maintenance(spark, tmp_path):
     assert got == {frozenset({"c1", "c2", "c3"}), frozenset({"c4", "c5"}),
                    frozenset({"c6"})}
 
+    # clusters is an overwrite table: ONE live snapshot, prior batches'
+    # corpus-sized data dirs expired, fingerprints witnessed
+    live_clusters = store.snapshots("clusters")
+    assert len(live_clusters) == 1
+    hist = store.snapshots("clusters", include_replaced=True)
+    assert len(hist) == 4
+    for s in hist[:-1]:
+        assert not os.path.isdir(s["data_path"]), s["fingerprint"]
+    for i in range(4):
+        assert store.contains_fingerprint("clusters", f"batch-{i}")
+
     # replay with a fresh checkpoint: every batch short-circuits on the
     # clusters completion marker; snapshot history must not grow
     counts = {

@@ -271,7 +271,9 @@ def test_incremental_resolve_valueless_batch(spark, tmp_path):
     q.awaitTermination(240)
 
     store = SnapshotStore(out_root)
-    assert len({s["fingerprint"] for s in store.snapshots("clusters")}) == 2
+    fps = {s["fingerprint"]
+           for s in store.snapshots("clusters", include_replaced=True)}
+    assert fps == {"batch-0", "batch-1"}  # overwrite keeps the history
     clusters = {r["record_id"]: r["cluster_id"]
                 for r in store.read(spark, "clusters").collect()}
     assert set(clusters) == {"v1", "v2"}  # f1 is not a record

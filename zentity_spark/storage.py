@@ -212,6 +212,30 @@ class SnapshotStore:
                 shutil.rmtree(s["data_path"], ignore_errors=True)
         return manifest
 
+    def commit_overwrite(self, df: DataFrame, table: str, stage: str,
+                         fingerprint: str = "",
+                         expire_data: bool = True) -> dict:
+        """Overwrite-semantics commit (Iceberg REPLACE): the new snapshot
+        replaces every live snapshot and the replaced data dirs are
+        expired. For latest-semantics tables (e.g. the streaming
+        per-batch clusters view) this keeps storage at ONE live
+        snapshot instead of one corpus-sized snapshot per micro-batch,
+        while replaced manifests still witness every fingerprint. Crash
+        windows: before the manifest rename nothing changed; after it,
+        a crash mid-expiry leaves unreadable orphan dirs (the Iceberg
+        expire contract)."""
+        prev = self.snapshots(table)
+        manifest = self.commit(
+            df, table, stage=stage, fingerprint=fingerprint,
+            extra={"replaces": [s["snapshot_id"] for s in prev]} if prev else None,
+        )
+        if expire_data:
+            import shutil
+
+            for s in prev:
+                shutil.rmtree(s["data_path"], ignore_errors=True)
+        return manifest
+
     def maintain(self, spark: SparkSession, table: str,
                  partition_by: list[str] | None = None,
                  expire_data: bool = True) -> list[dict]:

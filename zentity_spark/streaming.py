@@ -498,9 +498,13 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             )
             _commit_once(store, m, "stream_metrics", "stream_metrics", fp)
         # completion marker LAST: full mode's corpus snapshot, or delta
-        # mode's tiny batch_done row
+        # mode's tiny batch_done row. Full mode commits clusters as an
+        # OVERWRITE (each batch's view supersedes the last — without
+        # this, a long stream accumulates one corpus-sized snapshot per
+        # micro-batch, O(batches x corpus) storage)
         if clusters_mode == "full":
-            _commit_once(store, clusters, "clusters", "clusters", fp)
+            if not store.contains_fingerprint("clusters", fp):
+                store.commit_overwrite(clusters, "clusters", "clusters", fp)
         else:
             done = spark.createDataFrame([(int(batch_id),)], "batch_id long")
             _commit_once(store, done, "batch_done", "batch_done", fp)
