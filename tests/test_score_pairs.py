@@ -51,6 +51,31 @@ def test_score_pairs_features(spark):
     assert ac["jw_text"] < 0.8
 
 
+def test_score_pairs_empty_and_whitespace_text(spark):
+    """Regression: under Spark 4's default ANSI mode, element_at on the
+    empty token array of empty/whitespace-only text threw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT and aborted the stage. Empty text
+    must score, with '' as its first token (Python str.split parity)."""
+    texts = spark.createDataFrame(
+        [("a", ""), ("b", "   \t  "), ("c", "hello"), ("d", None)],
+        "record_id string, conv_text string",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d")], "id_l string, id_r string"
+    )
+    rows = {
+        (r["id_l"], r["id_r"]): r
+        for r in score_pairs(pairs, texts).collect()
+    }
+    ab = rows[("a", "b")]  # both token sets empty
+    assert ab["soundex_eq"] is True  # '' == ''
+    assert ab["token_jaccard"] == 1.0  # both-empty convention
+    ac = rows[("a", "c")]
+    assert ac["soundex_eq"] is False
+    assert ac["token_jaccard"] == 0.0
+    assert ("a", "d") in rows  # NULL text scores like empty
+
+
 def test_score_pairs_matches_spark_builtins(spark):
     """Cross-check the Python soundex and levenshtein against the JVM
     built-ins on a sample of generated strings."""

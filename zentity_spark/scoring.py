@@ -148,11 +148,14 @@ def jw_text_udf(text_prefix: int = 200):
 def _first_token(col: Column) -> Column:
     """First whitespace-delimited token (Python str.split() semantics:
     leading whitespace discarded, empty text → '')."""
+    # try_element_at, not element_at: under Spark 4's default ANSI mode
+    # element_at THROWS on an empty array (whitespace-only/empty text),
+    # aborting the whole scoring stage instead of yielding ''.
     return F.coalesce(
-        F.element_at(
+        F.try_element_at(
             F.filter(F.split(F.coalesce(col, F.lit("")), r"\s+"),
                      lambda t: t != ""),
-            1,
+            F.lit(1),
         ),
         F.lit(""),
     )

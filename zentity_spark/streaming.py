@@ -161,21 +161,29 @@ def _commit_once(store, df: DataFrame, table: str, stage: str, fp: str,
                      partition_by=partition_by)
 
 
-def current_assignments(spark: SparkSession, store) -> DataFrame | None:
-    """Materialize the full (record_id, cluster_id) view from a
-    delta-mode assign log: last-wins per record by seq (batch id).
-    This is the consumer-side O(corpus) materialization, run ON DEMAND —
-    the point of delta mode is that no per-batch work is corpus-sized."""
+def _last_wins(log: DataFrame) -> DataFrame:
+    """Current (record_id, cluster_id) per record from assign-log rows:
+    max-seq wins. THE single definition of delta-log read semantics —
+    shared by the full-view materializer and the per-batch pruned read,
+    so writer and readers cannot diverge."""
     from pyspark.sql.window import Window
 
-    log = store.read_all(spark, "assign")
-    if log is None:
-        return None
     w = Window.partitionBy("record_id").orderBy(F.col("seq").desc())
     return (
         log.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1).select("record_id", "cluster_id")
     )
+
+
+def current_assignments(spark: SparkSession, store) -> DataFrame | None:
+    """Materialize the full (record_id, cluster_id) view from a
+    delta-mode assign log: last-wins per record by seq (batch id).
+    This is the consumer-side O(corpus) materialization, run ON DEMAND —
+    the point of delta mode is that no per-batch work is corpus-sized."""
+    log = store.read_all(spark, "assign")
+    if log is None:
+        return None
+    return _last_wins(log)
 
 
 def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
@@ -265,18 +273,23 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
     def bucket_of(col: str) -> F.Column:
         return F.pmod(F.xxhash64(col), nb).cast("int")
 
-    def rebuild_records(ids: DataFrame, parsed_batch):
+    def touched_buckets(df: DataFrame, col: str) -> list[int]:
+        """Distinct hash buckets of `col` — the partition-prune driver
+        list (bounded by n_buckets, a model-sized collect)."""
+        return [
+            r[0] for r in df.select(bucket_of(col).alias("b"))
+            .distinct().collect()
+        ]
+
+    def rebuild_records(ids: DataFrame, parsed_batch, want_metrics=True):
         """Match material for exactly `ids`: bucket-pruned values scan +
         semi-join, then the batch-path record aggregation — O(|ids|'
         values), never O(corpus)."""
-        buckets = [
-            r[0] for r in ids.select(bucket_of("record_id").alias("b"))
-            .distinct().collect()
-        ]
-        vals = _read_bucket_dirs(spark, store, "values", "rb", buckets)
+        vals = _read_bucket_dirs(spark, store, "values", "rb",
+                                 touched_buckets(ids, "record_id"))
         if vals is None:  # ids was empty (e.g. zero candidate pairs)
             return None, 0
-        scan_rows = vals.count() if metrics else None
+        scan_rows = vals.count() if (metrics and want_metrics) else None
         vals = vals.join(ids, "record_id", "left_semi")
         return build_records(vals, compiled, parsed_batch), scan_rows
 
@@ -284,22 +297,12 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         """CURRENT cluster id per requested record (delta mode):
         bucket-pruned last-wins read of the assign log; a record with
         no row yet is its own singleton."""
-        from pyspark.sql.window import Window
-
-        buckets = [
-            r[0] for r in ids.select(bucket_of("record_id").alias("b"))
-            .distinct().collect()
-        ]
-        scan = _read_bucket_dirs(spark, store, "assign", "rb", buckets)
+        scan = _read_bucket_dirs(spark, store, "assign", "rb",
+                                 touched_buckets(ids, "record_id"))
         if scan is None:
             return ids.withColumn("cluster_id", F.col("record_id")), 0
         scan_rows = scan.count() if metrics else None
-        w = Window.partitionBy("record_id").orderBy(F.col("seq").desc())
-        cur = (
-            scan.join(ids, "record_id", "left_semi")
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1).select("record_id", "cluster_id")
-        )
+        cur = _last_wins(scan.join(ids, "record_id", "left_semi"))
         return (
             ids.join(cur, "record_id", "left")
             .withColumn("cluster_id",
@@ -341,11 +344,8 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             .select(F.col("record_id").alias("old_cid"),
                     F.col("cluster_id").alias("new_cid")).localCheckpoint()
         )
-        lose_buckets = [
-            r[0] for r in remap.select(bucket_of("old_cid").alias("b"))
-            .distinct().collect()
-        ]
-        members = _read_bucket_dirs(spark, store, "cmembers", "cb", lose_buckets)
+        members = _read_bucket_dirs(spark, store, "cmembers", "cb",
+                                    touched_buckets(remap, "old_cid"))
         if members is None:
             moved = spark.createDataFrame([], "record_id string, cluster_id string")
         else:
@@ -427,11 +427,8 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         # the committed keys (touched kb buckets only) + broadcast
         # semi-join on (resolver, ckey).
         touched = keys_new.select("resolver", "ckey").distinct()
-        touched_kbs = [
-            r[0] for r in keys_new.select(bucket_of("ckey").alias("b"))
-            .distinct().collect()
-        ]
-        keys_scan = _read_bucket_dirs(spark, store, "blkeys", "kb", touched_kbs)
+        keys_scan = _read_bucket_dirs(spark, store, "blkeys", "kb",
+                                      touched_buckets(keys_new, "ckey"))
         if keys_scan is None:  # batch produced no blocking keys at all
             keys_scan = spark.createDataFrame(
                 [], "resolver string, ckey long, record_id string"
@@ -459,7 +456,8 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             .distinct()
         )
         old_pair_ids = pair_ids.join(new_ids, "record_id", "left_anti")
-        records_old, _ = rebuild_records(old_pair_ids, parsed_batch)
+        records_old, _ = rebuild_records(old_pair_ids, parsed_batch,
+                                         want_metrics=False)
         parts = [r for r in (records_new, records_old) if r is not None]
         if not parts:
             edges_new = spark.createDataFrame([], "id_l string, id_r string")
