@@ -106,6 +106,11 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     target = min(session_parts, max(8, n_edges // 250_000 + 1))
     prev_sig = None
     for _ in range(max_iterations):
+        # each star is checkpointed separately — NOT fused into one job:
+        # _small_star consumes its joined input twice (neighbor + self
+        # edges), so fusing duplicates the whole large-star subplan in
+        # both union branches (measured 1.6× slower than the extra
+        # materialization job it saves)
         e = _large_star(e, target).localCheckpoint()
         e = _small_star(e, target).localCheckpoint()
         sig = _signature(e)
@@ -128,7 +133,10 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame, max_hops: int = 100) -> DataF
     frontier expansion)."""
     sym = edges.select("src", "dst").union(edges.select(F.col("dst"), F.col("src")))
     sym = sym.toDF("src", "dst").distinct().localCheckpoint()
-    visited = seeds.select(F.col("record_id")).distinct().withColumn("hop", F.lit(0))
+    visited = (
+        seeds.select(F.col("record_id")).distinct()
+        .withColumn("hop", F.lit(0)).localCheckpoint()
+    )
     frontier = visited
     hop = 0
     while hop < max_hops:
@@ -143,6 +151,10 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame, max_hops: int = 100) -> DataF
         )
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint()
+        # visited stays a LAZY union of already-checkpointed frontiers:
+        # every leaf is materialized so lineage stays shallow, and we
+        # skip re-materializing the whole accumulated set each hop
+        # (which cost an O(|visited|) job per hop)
+        visited = visited.union(nxt)
         frontier = nxt
     return visited
