@@ -278,3 +278,44 @@ def test_incremental_resolve_valueless_batch(spark, tmp_path):
                 for r in store.read(spark, "clusters").collect()}
     assert set(clusters) == {"v1", "v2"}  # f1 is not a record
     assert clusters["v1"] == clusters["v2"]
+
+
+def test_stream_store_layout_guard(spark, tmp_path):
+    """The store's bucket layout is fixed for its lifetime: resuming
+    with a different n_buckets (rows would be looked up in the WRONG
+    rb=/kb= directory — silent missed merges) or clusters_mode is a
+    hard error, and a store with committed tables but no layout meta
+    (pre-guard layout) is rejected instead of mis-read."""
+    from zentity_spark.model import Model
+    from zentity_spark.streaming import (
+        _STREAM_META,
+        _check_stream_meta,
+        incremental_resolve,
+        read_turn_stream,
+    )
+
+    path = _write_turn_files(spark, str(tmp_path), split=4)
+    out_root = str(tmp_path / "inc")
+    q = incremental_resolve(spark, read_turn_stream(spark, path),
+                            Model(MODEL), out_root,
+                            checkpoint_dir=str(tmp_path / "ck"), n_buckets=64)
+    q.awaitTermination(240)
+
+    # same layout params: resume is allowed
+    _check_stream_meta(out_root, 64, "full")
+    # changed n_buckets / clusters_mode: rejected before any commit
+    with pytest.raises(ValueError, match="created with"):
+        incremental_resolve(spark, read_turn_stream(spark, path),
+                            Model(MODEL), out_root,
+                            checkpoint_dir=str(tmp_path / "ck"), n_buckets=32)
+    with pytest.raises(ValueError, match="created with"):
+        incremental_resolve(spark, read_turn_stream(spark, path),
+                            Model(MODEL), out_root,
+                            checkpoint_dir=str(tmp_path / "ck"),
+                            clusters_mode="delta")
+    # legacy store: committed tables but no meta file
+    os.remove(os.path.join(out_root, _STREAM_META))
+    with pytest.raises(ValueError, match="layout guard"):
+        incremental_resolve(spark, read_turn_stream(spark, path),
+                            Model(MODEL), out_root,
+                            checkpoint_dir=str(tmp_path / "ck"))

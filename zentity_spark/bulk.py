@@ -24,6 +24,33 @@ from zentity_spark.resolve import Input, SeededConfig, resolve
 MAX_CONCURRENT_JOBS = 100  # BulkAction.java:32
 
 
+class _AuditCapture:
+    """Per-item query-log capture shared by both bulk paths — ONE
+    definition of the audit contract (per-item `_capture` dict, logs
+    collected in input order, flushed as {"item": i, "query_log": [...]}
+    rows for storage.query_log_metrics), so the two paths cannot
+    silently diverge."""
+
+    def __init__(self, n_items: int):
+        self._captures: list[dict] = [{} for _ in range(n_items)]
+        self._logs: list[list] = [[] for _ in range(n_items)]
+
+    def capture(self, i: int) -> dict:
+        """The `_capture` dict to pass into resolve/resolve_response."""
+        return self._captures[i]
+
+    def record(self, i: int) -> None:
+        """Call in the item's `finally`: keeps the log even when the
+        item errored mid-resolve (partial hops still audited)."""
+        self._logs[i] = self._captures[i].get("query_log", [])
+
+    def flush(self, audit: list | None) -> None:
+        if audit is not None:
+            audit.extend(
+                {"item": i, "query_log": ql} for i, ql in enumerate(self._logs)
+            )
+
+
 def split_bulk_lines(ndjson: str) -> list[tuple[str, str]]:
     """NDJSON body → RAW (params_line, payload_line) string pairs; an odd
     line count fails the whole request (BulkAction.java:40-47,
@@ -74,12 +101,12 @@ def bulk_resolve(
     {"item": i, "query_log": [...]} per entry — the per-hop audit rows
     incl. timed_out (S7), ready for storage.query_log_metrics."""
     entries = split_bulk_lines(ndjson)
-    logs: list = [[] for _ in entries]
+    alog = _AuditCapture(len(entries))
 
     def one(ientry):
         i, entry = ientry
         raw_params, raw_payload = entry
-        capture: dict = {}
+        capture = alog.capture(i)
         try:
             params = json.loads(raw_params) if raw_params.strip() else {}
             payload = json.loads(raw_payload)
@@ -149,14 +176,11 @@ def bulk_resolve(
                               "type": type(e).__name__, "reason": str(e)},
                     "hits": {"total": 0, "hits": []}}
         finally:
-            logs[i] = capture.get("query_log", [])
+            alog.record(i)
 
     with ThreadPoolExecutor(max_workers=min(max_concurrency, max(len(entries), 1))) as ex:
         items = list(ex.map(one, enumerate(entries)))
-    if audit is not None:
-        audit.extend(
-            {"item": i, "query_log": ql} for i, ql in enumerate(logs)
-        )
+    alog.flush(audit)
     return {"errors": any("error" in i for i in items), "items": items}
 
 
@@ -208,7 +232,7 @@ def bulk_resolve_response(
     t0 = _time.time()
     entries = split_bulk_lines(ndjson)
     failed = [False]
-    logs: list = [[] for _ in entries]
+    alog = _AuditCapture(len(entries))
 
     def one(ientry):
         i, entry = ientry
@@ -216,7 +240,7 @@ def bulk_resolve_response(
         it0 = _time.time()
         merged = dict(req)
         trace = _param_bool(merged, "error_trace", True)
-        capture: dict = {}
+        capture = alog.capture(i)
         try:
             params = json.loads(raw_params) if raw_params.strip() else {}
             if not isinstance(params, dict):
@@ -286,16 +310,13 @@ def bulk_resolve_response(
         finally:
             # per-item audit rows (incl. timed_out) survive the envelope:
             # S7 parity for the bulk path, not just single resolve
-            logs[i] = capture.get("query_log", [])
+            alog.record(i)
 
     with ThreadPoolExecutor(
         max_workers=min(max_concurrency, max(len(entries), 1))
     ) as ex:
         items = list(ex.map(one, enumerate(entries)))
-    if audit is not None:
-        audit.extend(
-            {"item": i, "query_log": ql} for i, ql in enumerate(logs)
-        )
+    alog.flush(audit)
     took = int((_time.time() - t0) * 1000)
     return (
         "{" + f"\"took\":{took},\"errors\":{str(failed[0]).lower()},"

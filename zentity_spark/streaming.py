@@ -38,13 +38,78 @@ per-batch recomputation or shuffle over the accumulated corpus
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import json
+import os
+
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 TURNS_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string,"
     " ts timestamp"
 )
+
+# Physical layout of an incremental_resolve store. Bump when the table
+# set / bucketing scheme changes incompatibly (a store written under an
+# older layout must be rejected on resume, not silently mis-read).
+STREAM_LAYOUT_VERSION = 1
+_STREAM_META = "stream_meta.json"
+
+# Skinny blocking-key row shape — shared by the two empty-frame
+# fallbacks in process_batch so they cannot silently diverge.
+_KEYS_SCHEMA = "resolver string, ckey long, record_id string"
+
+
+def _check_stream_meta(output_root: str, n_buckets: int,
+                       clusters_mode: str) -> None:
+    """Persist / validate the store's physical layout parameters.
+
+    n_buckets decides which rb=/kb=/cb= partition directory every
+    committed row lands in, and clusters_mode decides which tables
+    exist — resuming with a different value would look records up in
+    the WRONG bucket (a directory that exists, full of other records'
+    rows), so bucket-pruned scans silently miss their values and
+    merges are lost with no error. Hence both are fixed for a store's
+    lifetime and a mismatch is a hard error. A store with committed
+    tables but no meta file predates this guard (or lost the file) and
+    cannot be safely resumed either."""
+    meta_path = os.path.join(output_root, _STREAM_META)
+    want = {"layout_version": STREAM_LAYOUT_VERSION, "n_buckets": n_buckets,
+            "clusters_mode": clusters_mode}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            have = json.load(fh)
+        if have != want:
+            raise ValueError(
+                f"stream store at {output_root} was created with {have}; "
+                f"cannot resume with {want} — bucket layout and clusters "
+                "mode are fixed for a store's lifetime"
+            )
+        return
+    has_tables = os.path.isdir(output_root) and any(
+        os.path.isdir(os.path.join(output_root, d, "snapshots"))
+        for d in os.listdir(output_root)
+    )
+    if has_tables:
+        raise ValueError(
+            f"stream store at {output_root} has committed tables but no "
+            f"{_STREAM_META}: it predates the layout guard (or the meta "
+            "file was lost), so its bucket layout cannot be verified — "
+            "recreate the store or restore the meta file"
+        )
+    os.makedirs(output_root, exist_ok=True)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(want, fh)
+    os.replace(tmp, meta_path)
+
+
+def _obs_rows(obs: Observation | None) -> int:
+    """Scan-row count collected by an `observe` node INSIDE the real
+    job (pyspark.sql.Observation) — zero extra Spark jobs, unlike a
+    separate count() that re-reads the pruned files. Callers must only
+    ask after an action has materialized the observed plan."""
+    return int(obs.get["rows"]) if obs is not None else 0
 
 
 def read_turn_stream(spark: SparkSession, path: str, fmt: str = "parquet",
@@ -150,13 +215,20 @@ def _read_bucket_dirs(spark: SparkSession, store, table: str,
 
 
 def _commit_once(store, df: DataFrame, table: str, stage: str, fp: str,
-                 partition_by: list[str] | None = None) -> None:
-    """Idempotent append: a replayed micro-batch (crash between this
-    table's commit and a later one) must not append a second snapshot
+                 partition_by: list[str] | None = None,
+                 overwrite: bool = False) -> None:
+    """Idempotent commit: a replayed micro-batch (crash between this
+    table's commit and a later one) must not commit a second snapshot
     with the same fingerprint — read_all unions snapshots, so a double
     commit would duplicate rows. contains_fingerprint (not latest):
-    a batch whose snapshot was compacted away is still committed."""
-    if not store.contains_fingerprint(table, fp):
+    a batch whose snapshot was compacted away is still committed.
+    overwrite=True uses replace semantics (latest-view tables, e.g. the
+    full-mode clusters snapshot) under the same fingerprint guard."""
+    if store.contains_fingerprint(table, fp):
+        return
+    if overwrite:
+        store.commit_overwrite(df, table, stage, fingerprint=fp)
+    else:
         store.commit(df, table, stage=stage, fingerprint=fp,
                      partition_by=partition_by)
 
@@ -265,6 +337,7 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
 
     if clusters_mode not in ("full", "delta"):
         raise ValueError(f"clusters_mode must be full|delta: {clusters_mode}")
+    _check_stream_meta(output_root, n_buckets, clusters_mode)
     config = config or ResolutionConfig()
     compiled = model if not isinstance(model, Model) else compile_model(model)
     store = SnapshotStore(output_root)
@@ -284,30 +357,38 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
     def rebuild_records(ids: DataFrame, parsed_batch, want_metrics=True):
         """Match material for exactly `ids`: bucket-pruned values scan +
         semi-join, then the batch-path record aggregation — O(|ids|'
-        values), never O(corpus)."""
+        values), never O(corpus). Returns (records, scan Observation):
+        the scan-row metric rides inside the records job itself."""
         vals = _read_bucket_dirs(spark, store, "values", "rb",
                                  touched_buckets(ids, "record_id"))
         if vals is None:  # ids was empty (e.g. zero candidate pairs)
-            return None, 0
-        scan_rows = vals.count() if (metrics and want_metrics) else None
+            return None, None
+        obs = None
+        if metrics and want_metrics:
+            obs = Observation()
+            vals = vals.observe(obs, F.count(F.lit(1)).alias("rows"))
         vals = vals.join(ids, "record_id", "left_semi")
-        return build_records(vals, compiled, parsed_batch), scan_rows
+        return build_records(vals, compiled, parsed_batch), obs
 
     def assign_current_for(ids: DataFrame):
         """CURRENT cluster id per requested record (delta mode):
         bucket-pruned last-wins read of the assign log; a record with
-        no row yet is its own singleton."""
+        no row yet is its own singleton. Returns (assignments, scan
+        Observation) — see rebuild_records."""
         scan = _read_bucket_dirs(spark, store, "assign", "rb",
                                  touched_buckets(ids, "record_id"))
         if scan is None:
-            return ids.withColumn("cluster_id", F.col("record_id")), 0
-        scan_rows = scan.count() if metrics else None
+            return ids.withColumn("cluster_id", F.col("record_id")), None
+        obs = None
+        if metrics:
+            obs = Observation()
+            scan = scan.observe(obs, F.count(F.lit(1)).alias("rows"))
         cur = _last_wins(scan.join(ids, "record_id", "left_semi"))
         return (
             ids.join(cur, "record_id", "left")
             .withColumn("cluster_id",
                         F.coalesce("cluster_id", F.col("record_id")))
-        ), scan_rows
+        ), obs
 
     def delta_assignments(edges_new: DataFrame, new_ids: DataFrame,
                           batch_id: int, fp: str):
@@ -325,8 +406,8 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             .unionByName(edges_new.select(F.col("id_r").alias("record_id")))
             .unionByName(new_ids).distinct().localCheckpoint()
         )
-        cur, assign_scan_rows = assign_current_for(touched)
-        cur = cur.localCheckpoint()
+        cur, assign_obs = assign_current_for(touched)
+        cur = cur.localCheckpoint()  # materializes → assign_obs collected
         cid_l = cur.select(F.col("record_id").alias("id_l"),
                            F.col("cluster_id").alias("src"))
         cid_r = cur.select(F.col("record_id").alias("id_r"),
@@ -378,9 +459,22 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         # written, breaking invariant (a) for future merges.
         _commit_once(store, delta.withColumn("cb", bucket_of("cluster_id")),
                      "cmembers", "cmembers", fp, partition_by=["cb"])
+        # assign_metrics BETWEEN cmembers and assign: once assign is
+        # committed, a crash-replay recomputes delta with the merge
+        # already visible (remap empty → moved empty), so a metrics row
+        # written after assign would under-count delta_rows for exactly
+        # the crash-window batches it exists to audit. Before assign,
+        # every replay recomputes the identical delta, so the committed
+        # count is exact in every crash window.
+        if metrics:
+            am = spark.createDataFrame(
+                [(int(batch_id), int(delta.count()), _obs_rows(assign_obs))],
+                "batch_id long, delta_rows long, assign_scan_rows long",
+            )
+            _commit_once(store, am, "assign_metrics", "assign_metrics", fp)
         _commit_once(store, delta.withColumn("rb", bucket_of("record_id")),
                      "assign", "assign", fp, partition_by=["rb"])
-        return delta, assign_scan_rows
+        return delta
 
     marker_table = "clusters" if clusters_mode == "full" else "batch_done"
 
@@ -405,11 +499,9 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         # records for the NEW ids only (old+new values merged for a
         # conversation spanning batches; attr_name_fields presence for
         # weighted models is taken from the current batch's turns)
-        records_new, values_scan_rows = rebuild_records(new_ids, parsed_batch)
+        records_new, values_obs = rebuild_records(new_ids, parsed_batch)
         if records_new is None:  # batch produced no valued records
-            keys_new = spark.createDataFrame(
-                [], "resolver string, ckey long, record_id string"
-            )
+            keys_new = spark.createDataFrame([], _KEYS_SCHEMA)
         else:
             # materialized once: consumed by blocking keys here and
             # reused as pair match material below (avoids a second
@@ -430,9 +522,12 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         keys_scan = _read_bucket_dirs(spark, store, "blkeys", "kb",
                                       touched_buckets(keys_new, "ckey"))
         if keys_scan is None:  # batch produced no blocking keys at all
-            keys_scan = spark.createDataFrame(
-                [], "resolver string, ckey long, record_id string"
-            )
+            keys_scan = spark.createDataFrame([], _KEYS_SCHEMA)
+        # materialize the pruned scan ONCE: candidate_pairs self-joins
+        # its input (sizes + left + right = three plan references), so
+        # without this the pruned parquet is read three times per batch
+        # — and the metrics count on the materialized blocks is free
+        keys_scan = keys_scan.localCheckpoint()
         keys_scan_rows = keys_scan.count() if metrics else None
         block_rows = keys_scan.join(
             F.broadcast(touched), ["resolver", "ckey"], "left_semi"
@@ -469,15 +564,7 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         _commit_once(store, edges_new, "edges", "edges", fp)
 
         if clusters_mode == "delta":
-            delta, assign_scan_rows = delta_assignments(
-                edges_new, new_ids, batch_id, fp)
-            if metrics:  # the count is observability-only work
-                am = spark.createDataFrame(
-                    [(int(batch_id), int(delta.count()),
-                      int(assign_scan_rows or 0))],
-                    "batch_id long, delta_rows long, assign_scan_rows long",
-                )
-                _commit_once(store, am, "assign_metrics", "assign_metrics", fp)
+            delta_assignments(edges_new, new_ids, batch_id, fp)
         else:
             edges_all = store.read_all(spark, "edges").dropDuplicates(
                 ["id_l", "id_r"])
@@ -489,7 +576,7 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             m = spark.createDataFrame(
                 [(
                     int(batch_id), batch_rows,
-                    int(values_scan_rows or 0), int(keys_scan_rows or 0),
+                    _obs_rows(values_obs), int(keys_scan_rows or 0),
                 )],
                 "batch_id long, batch_turn_rows long,"
                 " values_scan_rows long, keys_scan_rows long",
@@ -501,8 +588,8 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         # this, a long stream accumulates one corpus-sized snapshot per
         # micro-batch, O(batches x corpus) storage)
         if clusters_mode == "full":
-            if not store.contains_fingerprint("clusters", fp):
-                store.commit_overwrite(clusters, "clusters", "clusters", fp)
+            _commit_once(store, clusters, "clusters", "clusters", fp,
+                         overwrite=True)
         else:
             done = spark.createDataFrame([(int(batch_id),)], "batch_id long")
             _commit_once(store, done, "batch_done", "batch_done", fp)
