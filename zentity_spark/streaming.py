@@ -41,7 +41,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TURNS_SCHEMA = (
@@ -104,12 +104,16 @@ def _check_stream_meta(output_root: str, n_buckets: int,
     os.replace(tmp, meta_path)
 
 
-def _obs_rows(obs: Observation | None) -> int:
-    """Scan-row count collected by an `observe` node INSIDE the real
-    job (pyspark.sql.Observation) — zero extra Spark jobs, unlike a
-    separate count() that re-reads the pruned files. Callers must only
-    ask after an action has materialized the observed plan."""
-    return int(obs.get["rows"]) if obs is not None else 0
+# Scan-row metrics are taken as count() over a localCheckpoint()ed
+# pruned scan: the checkpoint reads the pruned parquet ONCE and both the
+# metric and the downstream join consume the materialized partitions.
+# Deliberately NOT pyspark.sql.Observation: inside foreachBatch the
+# batch DataFrame belongs to the stream's CLONED session, so a plan
+# mixing it with an outer-session scan can execute under the clone while
+# the observation listener sits on the outer session's listener bus —
+# Observation.getRow then blocks (or yields the schemaless empty-row
+# fallback, an assertion error in toPyRow). Reproduced on Spark 4.1;
+# the checkpoint+count form is session-agnostic and deterministic.
 
 
 def read_turn_stream(spark: SparkSession, path: str, fmt: str = "parquet",
@@ -357,38 +361,39 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
     def rebuild_records(ids: DataFrame, parsed_batch, want_metrics=True):
         """Match material for exactly `ids`: bucket-pruned values scan +
         semi-join, then the batch-path record aggregation — O(|ids|'
-        values), never O(corpus). Returns (records, scan Observation):
-        the scan-row metric rides inside the records job itself."""
+        values), never O(corpus). Returns (records, scan-row count):
+        the pruned scan is checkpointed so the metric and the join share
+        ONE parquet read."""
         vals = _read_bucket_dirs(spark, store, "values", "rb",
                                  touched_buckets(ids, "record_id"))
         if vals is None:  # ids was empty (e.g. zero candidate pairs)
             return None, None
-        obs = None
+        scan_rows = None
         if metrics and want_metrics:
-            obs = Observation()
-            vals = vals.observe(obs, F.count(F.lit(1)).alias("rows"))
+            vals = vals.localCheckpoint()
+            scan_rows = vals.count()
         vals = vals.join(ids, "record_id", "left_semi")
-        return build_records(vals, compiled, parsed_batch), obs
+        return build_records(vals, compiled, parsed_batch), scan_rows
 
     def assign_current_for(ids: DataFrame):
         """CURRENT cluster id per requested record (delta mode):
         bucket-pruned last-wins read of the assign log; a record with
-        no row yet is its own singleton. Returns (assignments, scan
-        Observation) — see rebuild_records."""
+        no row yet is its own singleton. Returns (assignments, scan-row
+        count) — see rebuild_records."""
         scan = _read_bucket_dirs(spark, store, "assign", "rb",
                                  touched_buckets(ids, "record_id"))
         if scan is None:
             return ids.withColumn("cluster_id", F.col("record_id")), None
-        obs = None
+        scan_rows = None
         if metrics:
-            obs = Observation()
-            scan = scan.observe(obs, F.count(F.lit(1)).alias("rows"))
+            scan = scan.localCheckpoint()
+            scan_rows = scan.count()
         cur = _last_wins(scan.join(ids, "record_id", "left_semi"))
         return (
             ids.join(cur, "record_id", "left")
             .withColumn("cluster_id",
                         F.coalesce("cluster_id", F.col("record_id")))
-        ), obs
+        ), scan_rows
 
     def delta_assignments(edges_new: DataFrame, new_ids: DataFrame,
                           batch_id: int, fp: str):
@@ -406,8 +411,8 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             .unionByName(edges_new.select(F.col("id_r").alias("record_id")))
             .unionByName(new_ids).distinct().localCheckpoint()
         )
-        cur, assign_obs = assign_current_for(touched)
-        cur = cur.localCheckpoint()  # materializes → assign_obs collected
+        cur, assign_scan_rows = assign_current_for(touched)
+        cur = cur.localCheckpoint()  # consumed by cid_l/cid_r/fresh below
         cid_l = cur.select(F.col("record_id").alias("id_l"),
                            F.col("cluster_id").alias("src"))
         cid_r = cur.select(F.col("record_id").alias("id_r"),
@@ -468,7 +473,8 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         # count is exact in every crash window.
         if metrics:
             am = spark.createDataFrame(
-                [(int(batch_id), int(delta.count()), _obs_rows(assign_obs))],
+                [(int(batch_id), int(delta.count()),
+                  int(assign_scan_rows or 0))],
                 "batch_id long, delta_rows long, assign_scan_rows long",
             )
             _commit_once(store, am, "assign_metrics", "assign_metrics", fp)
@@ -499,7 +505,7 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         # records for the NEW ids only (old+new values merged for a
         # conversation spanning batches; attr_name_fields presence for
         # weighted models is taken from the current batch's turns)
-        records_new, values_obs = rebuild_records(new_ids, parsed_batch)
+        records_new, values_scan_rows = rebuild_records(new_ids, parsed_batch)
         if records_new is None:  # batch produced no valued records
             keys_new = spark.createDataFrame([], _KEYS_SCHEMA)
         else:
@@ -576,7 +582,7 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             m = spark.createDataFrame(
                 [(
                     int(batch_id), batch_rows,
-                    _obs_rows(values_obs), int(keys_scan_rows or 0),
+                    int(values_scan_rows or 0), int(keys_scan_rows or 0),
                 )],
                 "batch_id long, batch_turn_rows long,"
                 " values_scan_rows long, keys_scan_rows long",
