@@ -112,6 +112,11 @@ def resolve_all(
         return_key_capped=True,
     )
     cand, dropped = candidate_pairs(blocks, max_block_size=config.max_block_size)
+    if config.score_candidate_pairs:
+        # the candidate set feeds TWO consumers (verify→edges and the
+        # scored-pairs artifact); without this the scored collect
+        # re-runs the whole blocking + self-join lineage a second time
+        cand = cand.localCheckpoint()
     pairs = verify_pairs(cand, compiled, records)
     edges = gate_edges(pairs, compiled).localCheckpoint()
     clusters = _cluster_assignments(records, edges, config.cc_max_iterations)
