@@ -123,3 +123,63 @@ def test_composite_score_bounds_and_symmetry(vals):
     assert 0.0 <= a <= 1.0
     if 1.0 in vals and 0.0 in vals:
         assert a == 0.5
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=60)),
+            st.one_of(st.none(), st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=60)),
+        ),
+        min_size=1, max_size=200,
+    )
+)
+def test_jaro_winkler_batch_matches_rowwise(pairs):
+    """Whole-batch jaro_winkler_pandas equals per-row invocation — the
+    batched numpy kernel's length-sorted chunking, equality fast path,
+    and null masking must not depend on batch composition."""
+    import numpy as np
+    import pandas as pd
+
+    from zentity_spark.matchers import jaro_winkler_pandas
+
+    a = pd.Series([p[0] for p in pairs], dtype=object)
+    b = pd.Series([p[1] for p in pairs], dtype=object)
+    batch = jaro_winkler_pandas(a, b).to_numpy()
+    single = np.array([
+        float(jaro_winkler_pandas(
+            pd.Series([x], dtype=object), pd.Series([y], dtype=object)).iloc[0])
+        for x, y in pairs
+    ])
+    assert np.allclose(batch, single, atol=0.0, equal_nan=True), pairs
+
+
+def test_jaro_winkler_known_edges():
+    """Pinned edge cases: the d = -1 single-char window (resolved by the
+    equality rule), empty-vs-empty (0.0, DuckDB parity), embedded NUL
+    (code-point semantics), and non-ASCII (UCS4 path)."""
+    import math
+
+    import pandas as pd
+
+    from zentity_spark.matchers import jaro_winkler_pandas
+
+    cases = [
+        ("a", "a", 1.0), ("a", "b", 0.0), ("", "", 0.0), ("a", "", 0.0),
+        ("", "b", 0.0), ("ab", "ba", 0.0), ("a\x00b", "a\x00b", 1.0),
+        ("héllo", "héllo", 1.0),
+    ]
+    a = pd.Series([c[0] for c in cases])
+    b = pd.Series([c[1] for c in cases])
+    got = jaro_winkler_pandas(a, b).tolist()
+    for (x, y, want), g in zip(cases, got):
+        assert g == pytest.approx(want, abs=1e-12), (x, y, g)
+    nan = jaro_winkler_pandas(
+        pd.Series([None, "x"], dtype=object), pd.Series(["x", None], dtype=object)
+    )
+    assert math.isnan(nan.iloc[0]) and math.isnan(nan.iloc[1])
