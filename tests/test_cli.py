@@ -227,3 +227,58 @@ def test_cli_models_bulk(tmp_path, capsys):
         assert (e.code or 0) == 0
     left = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(left) == {"b"}
+
+
+def test_cli_stream(spark, tmp_path, monkeypatch, capsys):
+    """`stream` runs incremental linkage over a watched directory and its
+    summary reports the delta-mode assignments; a second invocation with
+    the same checkpoint/store resumes without re-processing (batch count
+    unchanged) and sees a newly arrived file."""
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    in_dir = str(tmp_path / "in")
+    rows = [
+        ("c1", 0, "user", "k=1", None, "2024-01-01 00:00:00"),
+        ("c2", 0, "user", "k=1", None, "2024-01-01 00:00:01"),
+        ("c3", 0, "user", "k=2", None, "2024-01-01 00:00:02"),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    df = spark.createDataFrame(rows, schema).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(in_dir)
+    model_path = str(tmp_path / "m.json")
+    with open(model_path, "w") as fh:
+        json.dump({
+            "attributes": {"k": {}},
+            "resolvers": {"r": {"attributes": ["k"]}},
+            "matchers": {"x": {"clause": {"term": {"{{ field }}": "{{ value }}"}}}},
+            "indices": {"default": {"fields": {"k": {"attribute": "k", "matcher": "x"}}}},
+        }, fh)
+    out_root = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    argv = ["stream", "--model", model_path, "--input", in_dir,
+            "--output", out_root, "--checkpoint", ck,
+            "--clusters-mode", "delta",
+            "--assignments-output", str(tmp_path / "assign_out")]
+    cli.main(argv)
+    obj = json.loads(capsys.readouterr().out)
+    assert obj["records"] == 3 and obj["clusters"] == 2
+    n_batches = len(obj["batches"])
+    got = {(r["record_id"], r["cluster_id"]) for r in
+           spark.read.parquet(str(tmp_path / "assign_out")).collect()}
+    assert got == {("c1", "c1"), ("c2", "c1"), ("c3", "c3")}
+
+    # second run: nothing new → no new batches; then a new file links c4
+    cli.main(argv)
+    obj2 = json.loads(capsys.readouterr().out)
+    assert len(obj2["batches"]) == n_batches and obj2["records"] == 3
+    extra = spark.createDataFrame(
+        [("c4", 0, "user", "k=2", None, "2024-01-02 00:00:00")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    extra.coalesce(1).write.mode("append").parquet(in_dir)
+    cli.main(argv)
+    obj3 = json.loads(capsys.readouterr().out)
+    assert obj3["records"] == 4 and obj3["clusters"] == 2
+    got = {(r["record_id"], r["cluster_id"]) for r in
+           spark.read.parquet(str(tmp_path / "assign_out")).collect()}
+    assert got == {("c1", "c1"), ("c2", "c1"), ("c3", "c3"), ("c4", "c3")}

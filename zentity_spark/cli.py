@@ -11,10 +11,12 @@ Usage (north_rule launch shape):
 
 `batch` runs the snapshot-committed resolve-all pipeline (resumable);
 `resolve` runs a seeded single-entity traversal and prints hits as JSON;
-`bulk` runs the NDJSON bulk-resolution body; `models` manages the
-entity-model store (get/list/create/update/delete/bulk/setup,
-ModelsAction.java:86-99 + SetupAction.java:43-91); `home` prints the
-engine metadata body.
+`bulk` runs the NDJSON bulk-resolution body; `stream` runs incremental
+record linkage over arriving transcript files (processes everything
+available then stops; rerun with the same --checkpoint/--output to pick
+up new arrivals exactly once); `models` manages the entity-model store
+(get/list/create/update/delete/bulk/setup, ModelsAction.java:86-99 +
+SetupAction.java:43-91); `home` prints the engine metadata body.
 """
 
 from __future__ import annotations
@@ -157,6 +159,26 @@ def main(argv=None):
     bk.add_argument("--max-hops", type=int, default=100)
     bk.add_argument("--max-docs-per-query", type=int, default=1000)
 
+    s = sub.add_parser(
+        "stream",
+        help="incremental record linkage over arriving transcript files "
+             "(foreachBatch; processes everything available, then stops — "
+             "rerun to pick up new arrivals, resume is per-batch exact)",
+    )
+    s.add_argument("--model", required=True)
+    s.add_argument("--input", required=True,
+                   help="directory watched for transcript files")
+    s.add_argument("--input-format", default="parquet")
+    s.add_argument("--output", required=True, help="SnapshotStore root")
+    s.add_argument("--checkpoint", default=None,
+                   help="streaming checkpoint dir (required for resume)")
+    s.add_argument("--clusters-mode", choices=["full", "delta"], default="full")
+    s.add_argument("--n-buckets", type=int, default=64)
+    s.add_argument("--max-files-per-trigger", type=int, default=None)
+    s.add_argument("--assignments-output", default=None,
+                   help="also write the materialized (record_id, "
+                        "cluster_id) view as parquet to this path")
+
     m = sub.add_parser(
         "models",
         help="entity-model management (the _zentity/models routes, "
@@ -231,6 +253,45 @@ def main(argv=None):
         print(request_error_json(e))
         spark.stop()
         sys.exit(1)
+
+    if args.cmd == "stream":
+        from zentity_spark.storage import SnapshotStore
+        from zentity_spark.streaming import (current_assignments,
+                                             incremental_resolve,
+                                             read_turn_stream)
+
+        stream = read_turn_stream(
+            spark, args.input, fmt=args.input_format,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        q = incremental_resolve(
+            spark, stream, model, args.output,
+            checkpoint_dir=args.checkpoint, n_buckets=args.n_buckets,
+            clusters_mode=args.clusters_mode,
+        )
+        q.awaitTermination()
+        store = SnapshotStore(args.output)
+        sm = store.read_all(spark, "stream_metrics")
+        batches = ([r.asDict() for r in
+                    sm.orderBy("batch_id").collect()] if sm is not None else [])
+        if args.clusters_mode == "delta":
+            cur = current_assignments(spark, store)
+        else:
+            cur = store.read(spark, "clusters")
+        n_records = cur.count() if cur is not None else 0
+        n_clusters = (cur.select("cluster_id").distinct().count()
+                      if cur is not None else 0)
+        if args.assignments_output and cur is not None:
+            cur.write.mode("overwrite").parquet(args.assignments_output)
+        print(json.dumps({
+            "clusters_mode": args.clusters_mode,
+            "batches": batches,  # cumulative across runs (append table)
+            "records": n_records,
+            "clusters": n_clusters,
+            "assignments_output": args.assignments_output,
+        }, indent=2))
+        spark.stop()
+        return
 
     if args.cmd == "batch":
         from zentity_spark.pipeline import ResolutionConfig, resolve_all_checkpointed
