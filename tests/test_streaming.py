@@ -301,8 +301,15 @@ def test_stream_store_layout_guard(spark, tmp_path):
                             checkpoint_dir=str(tmp_path / "ck"), n_buckets=64)
     q.awaitTermination(240)
 
-    # same layout params: resume is allowed
-    _check_stream_meta(out_root, 64, "full")
+    # same layout params + same model: resume is allowed
+    import hashlib
+    import json as _json
+
+    fp = hashlib.sha256(
+        _json.dumps(Model(MODEL).spec, sort_keys=True,
+                    separators=(",", ":")).encode()
+    ).hexdigest()
+    _check_stream_meta(out_root, 64, "full", fp)
     # changed n_buckets / clusters_mode: rejected before any commit
     with pytest.raises(ValueError, match="created with"):
         incremental_resolve(spark, read_turn_stream(spark, path),
@@ -313,6 +320,17 @@ def test_stream_store_layout_guard(spark, tmp_path):
                             Model(MODEL), out_root,
                             checkpoint_dir=str(tmp_path / "ck"),
                             clusters_mode="delta")
+    # changed entity model: committed values/blkeys were computed under
+    # the original matchers, so resuming with an edited model would join
+    # new keys against stale committed keys — hard error, not silence
+    edited = _json.loads(_json.dumps(MODEL))
+    edited["matchers"]["exact"]["clause"] = {
+        "match": {"{{ field }}": "{{ value }}"}
+    }
+    with pytest.raises(ValueError, match="created with"):
+        incremental_resolve(spark, read_turn_stream(spark, path),
+                            Model(edited), out_root,
+                            checkpoint_dir=str(tmp_path / "ck"))
     # legacy store: committed tables but no meta file
     os.remove(os.path.join(out_root, _STREAM_META))
     with pytest.raises(ValueError, match="layout guard"):

@@ -216,7 +216,13 @@ def main(argv=None):
     from zentity_spark.model import load_model
 
     spark = _spark(f"zentity-spark-{args.cmd}")
-    turns = spark.read.format(args.input_format).load(args.input)
+
+    # The batch read is deferred to the subcommands that consume it:
+    # the stream path supplies its own explicit schema via
+    # read_turn_stream and must not fail (or pay schema inference) on a
+    # watch directory the producer has not populated yet.
+    def _read_turns():
+        return spark.read.format(args.input_format).load(args.input)
 
     if args.cmd == "bulk":
         from zentity_spark.bulk import bulk_resolve_response
@@ -227,7 +233,7 @@ def main(argv=None):
         print(
             bulk_resolve_response(
                 spark,
-                turns,
+                _read_turns(),
                 ndjson,
                 model_store=ModelStore(args.models_dir) if args.models_dir else None,
                 default_entity_type=args.entity_type,
@@ -278,6 +284,11 @@ def main(argv=None):
             cur = current_assignments(spark, store)
         else:
             cur = store.read(spark, "clusters")
+        # three consumers (count, distinct count, optional write) — one
+        # materialization (PLANS.md rule 18), not three replays of the
+        # O(corpus) assign-log window
+        if cur is not None:
+            cur = cur.localCheckpoint()
         n_records = cur.count() if cur is not None else 0
         n_clusters = (cur.select("cluster_id").distinct().count()
                       if cur is not None else 0)
@@ -298,7 +309,7 @@ def main(argv=None):
 
         res = resolve_all_checkpointed(
             spark,
-            turns,
+            _read_turns(),
             model,
             output_root=args.output,
             input_token=args.input,
@@ -336,7 +347,7 @@ def main(argv=None):
         print(
             resolve_response(
                 spark,
-                turns,
+                _read_turns(),
                 model,
                 input_,
                 SeededConfig(

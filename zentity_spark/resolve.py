@@ -202,13 +202,16 @@ def _collect_with_budget(df: DataFrame, budget_s: float | None, tag: str):
         # failure (OOM, late analysis error) that happens to land after
         # the deadline must propagate, not be misreported as a clean
         # timed-out query with zero hits
-        # match the cancellation markers specifically: our tag appears in
-        # Spark's cancelJobsWithTag reason, and interruptOnCancel surfaces
-        # as InterruptedException. Deliberately NOT matching "killed" —
-        # executor-lost/OOM messages contain it and must propagate.
+        # match OUR cancellation specifically: the per-invocation uuid tag
+        # appears in Spark's cancelJobsWithTag reason, so an unrelated
+        # cancellation-flavored failure landing after the deadline
+        # (cancelAllJobs on shutdown, a user KeyboardInterrupt) propagates
+        # instead of being misreported as a clean timed-out query. The
+        # only non-tagged form this watchdog itself produces is the JVM
+        # InterruptedException raised by interruptOnCancel.
         msg = f"{type(exc).__name__}: {exc}".lower()
-        if fired.is_set() and (tag.lower() in msg or "cancel" in msg
-                               or "interrupt" in msg):
+        if fired.is_set() and (tag.lower() in msg
+                               or "interruptedexception" in msg):
             return [], True
         raise
     finally:

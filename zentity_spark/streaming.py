@@ -38,6 +38,7 @@ per-batch recomputation or shuffle over the accumulated corpus
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -61,7 +62,7 @@ _KEYS_SCHEMA = "resolver string, ckey long, record_id string"
 
 
 def _check_stream_meta(output_root: str, n_buckets: int,
-                       clusters_mode: str) -> None:
+                       clusters_mode: str, model_fingerprint: str) -> None:
     """Persist / validate the store's physical layout parameters.
 
     n_buckets decides which rb=/kb=/cb= partition directory every
@@ -69,21 +70,28 @@ def _check_stream_meta(output_root: str, n_buckets: int,
     exist — resuming with a different value would look records up in
     the WRONG bucket (a directory that exists, full of other records'
     rows), so bucket-pruned scans silently miss their values and
-    merges are lost with no error. Hence both are fixed for a store's
+    merges are lost with no error. The entity MODEL is pinned for the
+    same reason one level up: committed values/blkeys rows carry
+    eq_keys/blocking keys computed under the model's matchers and
+    resolvers, so resuming with an edited model would join new batches'
+    keys against stale committed keys — missed or spurious candidate
+    blocks with no error. Hence all three are fixed for a store's
     lifetime and a mismatch is a hard error. A store with committed
     tables but no meta file predates this guard (or lost the file) and
     cannot be safely resumed either."""
     meta_path = os.path.join(output_root, _STREAM_META)
     want = {"layout_version": STREAM_LAYOUT_VERSION, "n_buckets": n_buckets,
-            "clusters_mode": clusters_mode}
+            "clusters_mode": clusters_mode,
+            "model_fingerprint": model_fingerprint}
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             have = json.load(fh)
         if have != want:
             raise ValueError(
                 f"stream store at {output_root} was created with {have}; "
-                f"cannot resume with {want} — bucket layout and clusters "
-                "mode are fixed for a store's lifetime"
+                f"cannot resume with {want} — bucket layout, clusters "
+                "mode, and the entity model are fixed for a store's "
+                "lifetime (committed keys were computed under them)"
             )
         return
     has_tables = os.path.isdir(output_root) and any(
@@ -341,9 +349,13 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
 
     if clusters_mode not in ("full", "delta"):
         raise ValueError(f"clusters_mode must be full|delta: {clusters_mode}")
-    _check_stream_meta(output_root, n_buckets, clusters_mode)
     config = config or ResolutionConfig()
     compiled = model if not isinstance(model, Model) else compile_model(model)
+    fingerprint = hashlib.sha256(
+        json.dumps(compiled.model.spec, sort_keys=True,
+                   separators=(",", ":")).encode()
+    ).hexdigest()
+    _check_stream_meta(output_root, n_buckets, clusters_mode, fingerprint)
     store = SnapshotStore(output_root)
     nb = F.lit(n_buckets)
 
