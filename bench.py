@@ -322,13 +322,20 @@ def merge_scaling_cache(probe: dict) -> dict:
     stamped = {**probe, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
     merged = {**prior, **stamped}
     merged.pop("probe_error", None)
+    # a probe at different levels (e.g. 1,4 instead of 2,8) must not
+    # leave the prior levels' throughput keys dangling next to the new
+    # "levels" list — they'd read as one measurement
+    new_keys = {f"throughput_local{n}" for n in probe.get("levels", [])}
+    for k in list(merged):
+        if k.startswith("throughput_local") and k not in new_keys:
+            del merged[k]
     best = prior.get("best_window")
     if "efficiency" in stamped and (
         best is None or stamped["efficiency"] > best.get("efficiency", 0.0)
     ):
         merged["best_window"] = {
             k: stamped[k]
-            for k in ("efficiency", "measured_at",
+            for k in ("efficiency", "measured_at", "levels",
                       *(f"throughput_local{n}" for n in probe.get("levels", [])))
             if k in stamped
         }
