@@ -38,6 +38,11 @@ def make_spark(cpus: int, app: str = "zentity-bench"):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
+        # shuffle/spill bytes are the scarce resource both at 100 TB
+        # (network) and on this DRAM-capped host: zstd's ~2× better
+        # ratio beat lz4 1.44× end-to-end in an interleaved fresh-JVM
+        # A/B at pinned local[8] (tools/ab_codec.py, 2026-08-19 01:45Z)
+        .config("spark.io.compression.codec", "zstd")
         # G1 (JDK17 default) throttles allocation-heavy Spark local-mode
         # jobs to ~8 cores' worth of throughput on this class of machine;
         # the throughput collector keeps scaling (measured 2.5-2.7× from
