@@ -4,6 +4,10 @@
 # a probe banks efficiency >= 0.8 or after ~4h.
 cd /root/repo
 LOG=/tmp/scaling_watcher.log
+# single-instance guard: two concurrent watchers double-probe the same
+# window and the second (degraded) probe overwrites the banked record
+exec 9>/tmp/scaling_watcher.lock
+flock -n 9 || { echo "$(date -u +%H:%M:%SZ) another watcher holds the lock" >> "$LOG"; exit 0; }
 for i in $(seq 1 40); do
   ratio=$(python - <<'EOF'
 from tools.host_weather import run, _stream
