@@ -57,10 +57,33 @@ def main():
     if os.path.exists(_SCALING_CACHE):
         with open(_SCALING_CACHE) as fh:
             prev = json.load(fh)
-    best_prev = prev.get("best_window", {k: prev.get(k) for k in (
-        "throughput_local2", "throughput_local8", "efficiency", "measured_at")})
-    if (best_prev.get("efficiency") or 0) > result["efficiency"]:
-        result["best_window"] = best_prev
+
+    def summary(rec):
+        keys = ("efficiency", "levels", "pinned", "measured_at",
+                "host_bandwidth_capped",
+                *(k for k in rec if k.startswith("throughput_local")))
+        return {k: rec[k] for k in keys if k in rec}
+
+    # every probe leaves a compact record in history: a degraded-window
+    # probe overwriting the top level must never bury a banked >=0.8
+    # probe at HEAD (that data loss happened once — BASELINE.md
+    # "Evening probes"); bounded to the last 16
+    history = list(prev.get("history", []))
+    if "efficiency" in prev and prev.get("measured_at") not in {
+        h.get("measured_at") for h in history
+    }:
+        history.append(summary(prev))
+    history.append(summary(result))
+    result["history"] = history[-16:]
+
+    # best_window = best efficiency across ALL probes seen, including
+    # the about-to-be-overwritten top level, not just the stored best
+    candidates = [summary(result)]
+    if "efficiency" in prev:
+        candidates.append(summary(prev))
+    if prev.get("best_window", {}).get("efficiency") is not None:
+        candidates.append(prev["best_window"])
+    result["best_window"] = max(candidates, key=lambda r: r["efficiency"])
     # carry forward the historical capped-window control evidence
     # (same-day r1-code control + bandwidth ceiling) across rewrites
     hist = (prev.get("host_evidence") or {}).get("morning_capped_window")
