@@ -1448,6 +1448,37 @@ ORDER BY id_l, id_r
 """
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-bigram Jaccard near-dup via the lossless prefix
+    filter; the oracle is TRUE brute force (all doc pairs), so a green
+    row proves the prefix filter drops no qualifying pair."""
+    from zentity_spark.extras import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(d, n=2, threshold=0.35).orderBy("id_l", "id_r")
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 2 THEN
+           list_distinct(list_transform(generate_series(1, len(words) - 1),
+                          i -> array_to_string(words[i:i+1], ' ')))
+         ELSE [array_to_string(words, ' ')] END AS grams
+  FROM w
+)
+SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.35
+ORDER BY id_l, id_r
+"""
+
+
 def q_simhash(spark, sf_dir):
     """16-bit SimHash fingerprints (bit arithmetic over md5 token hashes)."""
     from zentity_spark.extras import sim_hash_expr
@@ -2015,6 +2046,7 @@ def all_queries():
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "near_dup_pairs": q_near_dup_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_topk": q_ann_topk,
@@ -2066,6 +2098,7 @@ def all_oracles():
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH,
         "near_dup_pairs": SQL_NEAR_DUP,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
         "simhash": SQL_SIMHASH,
         "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
         "ann_topk": SQL_ANN_TOPK,

@@ -171,6 +171,85 @@ def near_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 2,
+                        threshold: float = 0.35) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup: every pair with word-n-gram-set
+    Jaccard >= threshold — the deterministic sibling of MinHash-LSH
+    (`near_dup_pairs`), which is probabilistic in its candidate step.
+
+    Candidates come from a PREFIX-FILTERED inverted index (the SSJoin /
+    PPJoin prefix filter — Chaudhuri et al. 2006, Xiao et al. 2008;
+    public literature), NOT an all-pairs join, and the filter is
+    LOSSLESS: order every doc's distinct grams by ascending corpus
+    document-frequency (rarest first; gram string tie-break — one total
+    order shared by all docs), and two sets x, y with J(x,y) >= t must
+    share at least one gram inside each one's first
+    |x| - ceil(t*|x|) + 1 grams. Joining only those prefix grams
+    therefore finds every qualifying pair.
+
+    Plan shape / scale: explode -> ONE groupBy(gram) for corpus
+    document frequencies -> SMJ tok x freq on gram -> ONE
+    groupBy(doc_id) building the frequency-ordered gram array ->
+    prefix explode -> equi-self-join on gram -> verify join on hashed
+    full sets (xxhash64 int64, same width trick as near_dup_pairs:
+    Jaccard is preserved under injective hashing, shuffle ~3-5x
+    narrower than raw gram strings). Rare-first ordering is what keeps
+    the inverted lists short: a corpus-hot gram enters a doc's prefix
+    only when everything rarer in that doc is ALSO hot, i.e. exactly
+    the near-duplicate-of-a-hot-template docs the join must pair
+    anyway. At 100 TB the freq table is gram-keyed (bounded by vocab,
+    not corpus) and every shuffle key is a gram or an id — never text.
+    """
+    grams_col = shingles(F.col(text_col), n)
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams_col).alias("gram")
+    )
+    freq = tok.groupBy("gram").agg(F.count("*").alias("df_cnt"))
+    ordered = (
+        tok.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df_cnt", "gram"))).alias("ordered"))
+    )
+    sz = F.size("ordered")
+    # prefix length |x| - ceil(t*|x|) + 1; the 1e-9 nudge makes IEEE
+    # rounding of t*|x| err toward a LARGER prefix (extra candidates are
+    # merely re-verified; a short prefix would LOSE pairs)
+    p = (
+        sz
+        - F.ceil(F.lit(float(threshold)) * sz.cast("double") - F.lit(1e-9)).cast("int")
+        + 1
+    )
+    prefix = ordered.select(
+        "doc_id", F.explode(F.slice(F.col("ordered"), F.lit(1), p)).alias("pg")
+    ).select("doc_id", F.col("pg.gram").alias("gram"))
+    cand = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "gram")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"))
+        .distinct()
+    )
+    sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(grams_col, lambda s: F.xxhash64(s)).alias("g"),
+    )
+    return (
+        cand.join(sets.withColumnRenamed("doc_id", "id_l").withColumnRenamed("g", "g_l"), "id_l")
+        .join(sets.withColumnRenamed("doc_id", "id_r").withColumnRenamed("g", "g_r"), "id_r")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("g_l", "g_r"))
+                / F.size(F.array_union("g_l", "g_r")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
 _SIMHASH_UDFS: dict = {}
 
 
