@@ -95,3 +95,115 @@ def test_stub_false_raises_for_codec_payloads(spark):
 
     with pytest.raises((PythonException, Py4JJavaError)):
         decode_media_batches(df, stub=False).collect()
+
+
+# ---------------------------------------------------------------------
+# resize_media: real nearest-neighbor over PNM rasters, byte-sampled
+# deterministic fake otherwise
+
+def pgm_raster(w, h, maxval=255):
+    """P5 with a full raster: pixel (y, x) = (y * w + x) % (maxval+1)."""
+    raster = bytes((y * w + x) % (maxval + 1) for y in range(h) for x in range(w))
+    return f"P5\n{w} {h}\n{maxval}\n".encode() + raster, raster
+
+
+def ppm_raster(w, h):
+    """P6 with a full RGB raster: channel c of (y, x) = (y*w + x + c) % 256."""
+    raster = bytes(
+        (y * w + x + c) % 256 for y in range(h) for x in range(w) for c in range(3)
+    )
+    return b"P6\n" + f"{w} {h}\n255\n".encode() + raster, raster
+
+
+def test_resize_media_real_pnm(spark):
+    import numpy as np
+
+    from zentity_spark.extras import resize_media
+
+    w, h, ow, oh = 10, 6, 4, 4
+    p5, ras5 = pgm_raster(w, h)
+    p6, ras6 = ppm_raster(w, h)
+    df = spark.createDataFrame(
+        [(0, "image", p5, "{}"), (1, "image", p6, "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    got = {r["media_id"]: r for r in resize_media(df, ow, oh).collect()}
+
+    # numpy reference: nearest-neighbor with floor index mapping
+    g5 = np.frombuffer(ras5, dtype=np.uint8).reshape(h, w)
+    g6 = np.frombuffer(ras6, dtype=np.uint8).reshape(h, w, 3).mean(axis=2)
+    for mid, ref in ((0, g5), (1, g6)):
+        r = got[mid]
+        assert r["resized_real"] and (r["src_width"], r["src_height"]) == (w, h)
+        assert (r["width"], r["height"]) == (ow, oh)
+        exp = [
+            ref[(y * h) // oh, (x * w) // ow] / 255.0
+            for y in range(oh) for x in range(ow)
+        ]
+        assert r["pixels"] == pytest.approx(exp, abs=1e-12)
+
+
+def test_resize_media_fake_and_edges(spark):
+    from zentity_spark.extras import resize_media
+
+    payload = b"opaque bytes that need a codec to resize properly"
+    df = spark.createDataFrame(
+        [
+            (0, "image", png(640, 480), "{}"),   # header-only: real dims, fake pixels
+            (1, "image", payload, "{}"),          # unknown: fake dims + pixels
+            (2, "image", None, "{}"),             # null payload
+            (3, "image", b"P5\n4 4\n255\n\x01", "{}"),  # truncated raster -> fake
+        ],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    got = {r["media_id"]: r for r in resize_media(df, 4, 4).collect()}
+    assert (got[0]["src_width"], got[0]["src_height"]) == (640, 480)
+    assert not got[0]["resized_real"]
+    n = len(payload)
+    assert (got[1]["src_width"], got[1]["src_height"]) == (
+        (n % 64) * 16 + 16, (n % 48) * 16 + 16)
+    exp = [payload[(k * n) // 16] / 255.0 for k in range(16)]
+    assert got[1]["pixels"] == pytest.approx(exp)
+    assert got[2]["pixels"] == [0.0] * 16 and (got[2]["src_width"], got[2]["src_height"]) == (0, 0)
+    assert not got[3]["resized_real"]  # raster shorter than w*h -> fallback
+    assert all(len(r["pixels"]) == 16 for r in got.values())
+
+
+def test_sample_frames_real_wav(spark):
+    from zentity_spark.extras import sample_frames
+
+    # 2-channel 16-bit WAV where frame f's first-channel sample = f
+    nf, nch = 100, 2
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"".join(
+            struct.pack("<hh", f, -f) for f in range(nf)))
+    df = spark.createDataFrame(
+        [(0, "audio", buf.getvalue(), "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    r = sample_frames(df, n_samples=8).collect()[0]
+    assert r["sampled_real"] and r["n_frames"] == nf
+    idxs = [(k * nf) // 8 for k in range(8)]
+    assert list(r["frame_idx"]) == idxs
+    assert r["samples"] == pytest.approx([f / 32768.0 for f in idxs])
+
+
+def test_sample_frames_fake_byte_axis(spark):
+    from zentity_spark.extras import sample_frames
+
+    payload = bytes(range(200, 256)) * 2  # 112 "frames"
+    df = spark.createDataFrame(
+        [(0, "video", payload, "{}"), (1, "video", None, "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    got = {r["media_id"]: r for r in sample_frames(df, 8).collect()}
+    n = len(payload)
+    assert got[0]["n_frames"] == n and not got[0]["sampled_real"]
+    idxs = [(k * n) // 8 for k in range(8)]
+    assert list(got[0]["frame_idx"]) == idxs
+    assert got[0]["samples"] == pytest.approx([payload[i] / 255.0 for i in idxs])
+    assert got[1]["n_frames"] == 0 and list(got[1]["frame_idx"]) == []

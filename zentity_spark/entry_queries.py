@@ -1927,6 +1927,90 @@ FROM documents ORDER BY media_id
 """
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Multimodal resize plumbing: binary payload → mapInPandas
+    nearest-neighbor resize to 4×4 (extras.resize_media). PGM/PPM
+    payloads are REALLY resized from their raster (pytest-verified
+    against numpy); these text payloads take the deterministic
+    byte-sampling fallback, which is still content-derived — the oracle
+    recomputes the exact per-byte math via DuckDB hex() extraction, so
+    a hash match proves the sampling indices AND the byte values."""
+    from zentity_spark.extras import resize_media
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("{}").alias("meta"),
+    )
+    return (
+        resize_media(media, out_w=4, out_h=4)
+        .select("media_id", "src_width", "src_height", "width", "height",
+                "pixels", "resized_real")
+        .orderBy("media_id")
+    )
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH b AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS L
+  FROM documents
+)
+SELECT media_id,
+       CAST((L % 64) * 16 + 16 AS INT) AS src_width,
+       CAST((L % 48) * 16 + 16 AS INT) AS src_height,
+       CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+       list_transform(range(0, 16), k ->
+         CAST(CAST(('0x' || substr(hx, CAST(((k * L) // 16) * 2 + 1 AS INT), 2)) AS INT) AS DOUBLE) / 255.0
+       ) AS pixels,
+       FALSE AS resized_real
+FROM b ORDER BY media_id
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: binary payload → mapInPandas
+    evenly-spaced frame sampling (extras.sample_frames, 8 samples).
+    WAV payloads are REALLY sampled (stdlib wave, pytest-verified);
+    these text payloads use the byte-axis fallback — the oracle
+    recomputes both the index math i*n_frames//8 and the sampled byte
+    values via DuckDB hex() extraction."""
+    from zentity_spark.extras import sample_frames
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("{}").alias("meta"),
+    )
+    return (
+        sample_frames(media, n_samples=8)
+        .select("media_id", "kind", "n_frames", "frame_idx", "samples",
+                "sampled_real")
+        .orderBy("media_id")
+    )
+
+
+SQL_FRAME_SAMPLE = """
+WITH b AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS L
+  FROM documents
+)
+SELECT media_id, 'video' AS kind,
+       CAST(L AS INT) AS n_frames,
+       list_transform(range(0, 8), k -> CAST((k * L) // 8 AS INT)) AS frame_idx,
+       list_transform(range(0, 8), k ->
+         CAST(CAST(('0x' || substr(hx, CAST(((k * L) // 8) * 2 + 1 AS INT), 2)) AS INT) AS DOUBLE) / 255.0
+       ) AS samples,
+       FALSE AS sampled_real
+FROM b ORDER BY media_id
+"""
+
+
 # ----------------------------------------------------------------------
 # Generic engine sanity (scan/agg/sort/limit/window)
 
@@ -2061,6 +2145,8 @@ def all_queries():
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "frame_sample": q_frame_sample,
         "pricing_summary": q_pricing_summary,
         "top_events": q_top_events,
         "sessionize": q_sessionize,
@@ -2113,6 +2199,8 @@ def all_oracles():
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprints": SQL_FINGERPRINTS,
         "multimodal_decode": SQL_MULTIMODAL,
+        "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+        "frame_sample": SQL_FRAME_SAMPLE,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_events": SQL_TOP_EVENTS,
         "sessionize": SQL_SESSIONIZE,

@@ -27,6 +27,12 @@ Multimodal:
                        headers; codec-requiring formats fall back to a
                        deterministic fake flagged decoded_real=false
                        (this container has no PIL/ffmpeg).
+  resize_media         nearest-neighbor resize: REAL over PNM rasters
+                       (the pixels are in the payload), content-derived
+                       byte-sampling fake otherwise (resized_real flag)
+  sample_frames        evenly-spaced frame sampling: REAL over WAV
+                       (stdlib wave), payload-byte frame axis otherwise
+                       (sampled_real flag)
 """
 
 from __future__ import annotations
@@ -1155,3 +1161,202 @@ def decode_media_batches(media: DataFrame, stub: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(decode, MULTIMODAL_SCHEMA)
+
+
+def _parse_pnm(p: bytes):
+    """Parse a P5 (PGM) / P6 (PPM) header → (w, h, maxval, channels,
+    raster_offset) or None. Mirrors the header walk in sniff_decode but
+    also returns where the raster starts, for operators that consume
+    the actual pixels (resize)."""
+    if p[:2] not in (b"P5", b"P6"):
+        return None
+    channels = 1 if p[:2] == b"P5" else 3
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < 3 and i < len(p):
+        while i < len(p) and p[i:i + 1].isspace():
+            i += 1
+        if p[i:i + 1] == b"#":
+            while i < len(p) and p[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(p) and not p[j:j + 1].isspace():
+            j += 1
+        toks.append(p[i:j])
+        i = j
+    try:
+        w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+    except (ValueError, IndexError):
+        return None
+    if maxval <= 0 or maxval > 255:  # 2-byte-sample PNM not supported
+        return None
+    return w, h, maxval, channels, i + 1
+
+
+RESIZE_SCHEMA = (
+    "media_id long, kind string, src_width int, src_height int,"
+    " width int, height int, pixels array<double>, resized_real boolean"
+)
+
+
+def resize_media(media: DataFrame, out_w: int = 4, out_h: int = 4,
+                 stub: bool = True) -> DataFrame:
+    """Nearest-neighbor media resize as mapInPandas plumbing.
+
+    Input schema: (media_id long, kind string, payload binary, meta
+    string) — the same opaque-binary contract as decode_media_batches.
+
+    - PGM/PPM (P5/P6, maxval ≤ 255): REALLY resized — the raster is in
+      the payload, so each output pixel (y, x) samples the true source
+      pixel at (y*src_h//out_h, x*src_w//out_w); P6 outputs the channel
+      mean. resized_real=true.
+    - PNG/GIF/JPEG: the header yields true src dims but the raster is
+      compressed (no codecs in this container) → deterministic fake
+      pixels sampled from the payload BYTES (flat index i ↦ byte
+      i*len//(out_w*out_h), normalized /255), resized_real=false. With
+      stub=False these raise NotImplementedError instead.
+    - Unrecognized payloads: fake dims (as decode_media_batches) + the
+      same byte-sampled fake pixels.
+
+    The fake path is still content-derived and engine-independent, so
+    the DuckDB oracle checks the actual byte math, not just shapes.
+    """
+    npix = out_w * out_h
+
+    def fake_pixels(p: bytes) -> list[float]:
+        if not p:
+            return [0.0] * npix
+        return [float(p[(k * len(p)) // npix]) / 255.0 for k in range(npix)]
+
+    def run(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            sw_l, sh_l, px_l, real_l = [], [], [], []
+            for p in pdf["payload"]:
+                p = bytes(p) if p is not None else b""
+                pnm = _parse_pnm(p)
+                if pnm is not None:
+                    w, h, maxval, ch, off = pnm
+                    need = off + w * h * ch
+                    if len(p) >= need and w > 0 and h > 0:
+                        out = []
+                        for y in range(out_h):
+                            sy = (y * h) // out_h
+                            for x in range(out_w):
+                                sx = (x * w) // out_w
+                                base = off + (sy * w + sx) * ch
+                                v = sum(p[base:base + ch]) / ch
+                                out.append(v / maxval)
+                        sw_l.append(w); sh_l.append(h)
+                        px_l.append(out); real_l.append(True)
+                        continue
+                got = sniff_decode(p)
+                if got is not None and not stub:
+                    raise NotImplementedError(
+                        "raster decode requires an external codec (PIL/ffmpeg)"
+                    )
+                if got is not None:
+                    w, h = got[0], got[1]
+                elif not p:
+                    w, h = 0, 0
+                else:
+                    w = (len(p) % 64) * 16 + 16
+                    h = (len(p) % 48) * 16 + 16
+                sw_l.append(w); sh_l.append(h)
+                px_l.append(fake_pixels(p)); real_l.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "src_width": sw_l,
+                    "src_height": sh_l,
+                    "width": [out_w] * len(pdf),
+                    "height": [out_h] * len(pdf),
+                    "pixels": px_l,
+                    "resized_real": real_l,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, kind string, n_frames int, frame_idx array<int>,"
+    " samples array<double>, sampled_real boolean"
+)
+
+
+def sample_frames(media: DataFrame, n_samples: int = 8,
+                  stub: bool = True) -> DataFrame:
+    """Evenly-spaced frame sampling as mapInPandas plumbing.
+
+    Input schema: (media_id long, kind string, payload binary, meta
+    string). Picks n_samples evenly spaced frame indices
+    (i ↦ i*n_frames//n_samples) and one normalized value per index:
+
+    - WAV: REALLY sampled — stdlib `wave` reads the raster; value =
+      first-channel PCM sample at the chosen frame, normalized to
+      [-1, 1]. sampled_real=true.
+    - Everything else: the payload BYTES are the frame axis
+      (n_frames = len(payload)); value = byte/255. sampled_real=false;
+      with stub=False, payloads whose header was recognized (a real
+      video/image needing a codec) raise instead.
+
+    Mirrors video frame-sampling plumbing: schema, Arrow batch shape,
+    and the index math are what a real decoder-backed version keeps.
+    """
+
+    def run(iterator):
+        import io
+        import wave
+
+        import pandas as pd
+
+        for pdf in iterator:
+            nf_l, idx_l, val_l, real_l = [], [], [], []
+            for p in pdf["payload"]:
+                p = bytes(p) if p is not None else b""
+                if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                    try:
+                        with wave.open(io.BytesIO(p)) as wf:
+                            nf = wf.getnframes()
+                            sw = wf.getsampwidth()
+                            nch = wf.getnchannels()
+                            raw = wf.readframes(nf)
+                            idxs = [(k * nf) // n_samples
+                                    for k in range(n_samples)] if nf else []
+                            vals = []
+                            for fi in idxs:
+                                b0 = fi * sw * nch
+                                v = int.from_bytes(raw[b0:b0 + sw], "little",
+                                                   signed=(sw > 1))
+                                vals.append(v / float(2 ** (8 * sw - 1)))
+                            nf_l.append(nf); idx_l.append(idxs)
+                            val_l.append(vals); real_l.append(True)
+                            continue
+                    except (wave.Error, EOFError):
+                        pass
+                if not stub and sniff_decode(p) is not None:
+                    raise NotImplementedError(
+                        "frame decode requires an external codec (PIL/ffmpeg)"
+                    )
+                nf = len(p)
+                idxs = [(k * nf) // n_samples for k in range(n_samples)] if nf else []
+                nf_l.append(nf)
+                idx_l.append(idxs)
+                val_l.append([float(p[fi]) / 255.0 for fi in idxs])
+                real_l.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_frames": nf_l,
+                    "frame_idx": idx_l,
+                    "samples": val_l,
+                    "sampled_real": real_l,
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
