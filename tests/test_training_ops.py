@@ -1,0 +1,86 @@
+"""Training-data pipeline ops added in round 3: PII scrubbing, vocab
+stats, greedy sequence packing. The contract queries oracle-check them
+against DuckDB on the documents corpus; these tests pin the semantics
+on handcrafted edges (pattern order, budget boundaries, oversized
+docs)."""
+
+import pytest
+
+from zentity_spark.extras import pack_sequences, pii_scrub, vocab_stats
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_scrub_patterns_and_order(spark):
+    rows = [
+        (0, "mail a.b+c@ex-1.co.uk and 415-555-1234 from 10.0.0.1"),
+        # 16-digit card must be eaten by <CC> before the phone pattern
+        # can bite into it
+        (1, "card 4111 1111 1111 1111 thanks"),
+        (2, "nothing sensitive here"),
+        (3, "two mails x@y.io z@w.ai one ip 8.8.8.8"),
+    ]
+    got = {r["doc_id"]: r for r in pii_scrub(docs_df(spark, rows)).collect()}
+    assert (got[0]["n_email"], got[0]["n_phone"], got[0]["n_ip"]) == (1, 1, 1)
+    assert "<EMAIL>" in got[0]["clean_text"] and "<PHONE>" in got[0]["clean_text"]
+    assert "<IP>" in got[0]["clean_text"]
+    assert got[1]["n_cc"] == 1 and got[1]["n_phone"] == 0
+    assert got[1]["clean_text"] == "card <CC> thanks"
+    assert got[2]["clean_text"] == rows[2][1]
+    assert sum(got[2][c] for c in ("n_email", "n_cc", "n_phone", "n_ip")) == 0
+    assert got[3]["n_email"] == 2 and got[3]["n_ip"] == 1
+
+
+def test_vocab_stats_tf_df_idf(spark):
+    import math
+
+    rows = [
+        (0, "alpha beta alpha"),
+        (1, "alpha gamma"),
+        (2, "beta; beta, gamma!"),
+    ]
+    got = {r["token"]: r for r in vocab_stats(docs_df(spark, rows)).collect()}
+    assert (got["alpha"]["tf"], got["alpha"]["df"]) == (3, 2)
+    assert (got["beta"]["tf"], got["beta"]["df"]) == (3, 2)
+    assert (got["gamma"]["tf"], got["gamma"]["df"]) == (2, 2)
+    assert got["alpha"]["idf"] == pytest.approx(round(math.log(3 / 2), 6))
+
+
+def test_pack_sequences_greedy_boundaries(spark):
+    # single bucket; token counts 100, 28, 1, 200, 5:
+    #   bin0 = [100, 28]            (fill 128 == budget exactly)
+    #   bin1 = [1]? no — 128+1 > 128 -> bin1 starts with 1... then 200
+    #   exceeds -> bin2 alone; 5 -> bin3
+    rows = [
+        (0, " ".join(["w"] * 100)),
+        (8, " ".join(["w"] * 28)),
+        (16, "w"),
+        (24, " ".join(["w"] * 200)),  # oversized: own bin
+        (32, " ".join(["w"] * 5)),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs_df(spark, rows), budget=128,
+                                n_buckets=8).collect()
+    }
+    assert all(r["bucket"] == 0 for r in got.values())
+    assert [got[i]["n_tokens"] for i in (0, 8, 16, 24, 32)] == [100, 28, 1, 200, 5]
+    assert (got[0]["bin_idx"], got[0]["pos_in_bin"]) == (0, 0)
+    assert (got[8]["bin_idx"], got[8]["pos_in_bin"]) == (0, 1)  # fits exactly
+    assert (got[16]["bin_idx"], got[16]["pos_in_bin"]) == (1, 0)
+    assert (got[24]["bin_idx"], got[24]["pos_in_bin"]) == (2, 0)  # oversized alone
+    assert (got[32]["bin_idx"], got[32]["pos_in_bin"]) == (3, 0)
+
+
+def test_pack_sequences_buckets_independent(spark):
+    rows = [(i, " ".join(["w"] * 60)) for i in range(8)]
+    got = pack_sequences(docs_df(spark, rows), budget=128, n_buckets=4).collect()
+    by_bucket = {}
+    for r in got:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) == {0, 1, 2, 3}
+    # each bucket has two 60-token docs -> both fit in bin 0
+    for rs in by_bucket.values():
+        assert sorted((r["bin_idx"], r["pos_in_bin"]) for r in rs) == [(0, 0), (0, 1)]

@@ -2011,6 +2011,120 @@ FROM b ORDER BY media_id
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (extras.pii_scrub): regexp_count on the original
+    text + sequential regexp_replace, all JVM column expressions. The
+    corpus is synthetic, so deterministic PII (an email, a phone, an
+    IP derived from doc_id) is injected identically on both sides; the
+    oracle runs the SAME patterns (common Java-regex/RE2 subset) and
+    compares counts plus md5 of the scrubbed text."""
+    from zentity_spark.extras import pii_scrub
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ).alias("text"),
+    )
+    s = pii_scrub(injected)
+    return s.select(
+        "doc_id", "n_email", "n_cc", "n_phone", "n_ip",
+        F.md5(F.encode("clean_text", "utf-8")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+def _sql_pii_scrub() -> str:
+    from zentity_spark.extras import PII_PATTERNS
+
+    injected = (
+        "text || ' reach user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or 415-555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+    )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(txt, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = "txt"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH b AS (SELECT doc_id, {injected} AS txt FROM documents)
+SELECT doc_id, {counts}, md5({clean}) AS clean_md5
+FROM b ORDER BY doc_id
+"""
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary stats (extras.vocab_stats): explode → tf/df
+    aggregation with map-side combine, idf = ln(N/df), deterministic
+    top-200 by (tf desc, token asc)."""
+    from zentity_spark.extras import vocab_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_stats(d, top_n=200)
+
+
+SQL_VOCAB_STATS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+                            t -> t <> '')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df,
+       round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                / count(DISTINCT doc_id)), 6) AS idf
+FROM toks GROUP BY token ORDER BY tf DESC, token ASC LIMIT 200
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (extras.pack_sequences): documents hash
+    into independent packing streams (bucket = doc_id % 8), each packed
+    sequentially by doc_id into 128-token bins via one applyInPandas
+    pass over skinny (id, n_tokens) rows. The oracle replays the exact
+    greedy recurrence as a DuckDB recursive CTE."""
+    from zentity_spark.extras import pack_sequences
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(d, budget=128, n_buckets=8).select(
+        "doc_id", "bucket", "n_tokens", "bin_idx", "pos_in_bin"
+    ).orderBy("doc_id")
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH RECURSIVE c AS (
+  SELECT doc_id, doc_id % 8 AS bucket,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+), p AS (
+  SELECT doc_id, bucket, n_tokens, rn,
+         CAST(0 AS INT) AS bin_idx, CAST(0 AS INT) AS pos_in_bin,
+         n_tokens AS fill
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.doc_id, c.bucket, c.n_tokens, c.rn,
+         CAST(CASE WHEN p.fill + c.n_tokens > 128 THEN p.bin_idx + 1
+                   ELSE p.bin_idx END AS INT),
+         CAST(CASE WHEN p.fill + c.n_tokens > 128 THEN 0
+                   ELSE p.pos_in_bin + 1 END AS INT),
+         CAST(CASE WHEN p.fill + c.n_tokens > 128 THEN c.n_tokens
+                   ELSE p.fill + c.n_tokens END AS INT)
+  FROM p JOIN c ON c.bucket = p.bucket AND c.rn = p.rn + 1
+)
+SELECT doc_id, bucket, n_tokens, bin_idx, pos_in_bin FROM p ORDER BY doc_id
+"""
+
+
 # ----------------------------------------------------------------------
 # Generic engine sanity (scan/agg/sort/limit/window)
 
@@ -2147,6 +2261,9 @@ def all_queries():
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "frame_sample": q_frame_sample,
+        "pii_scrub": q_pii_scrub,
+        "vocab_stats": q_vocab_stats,
+        "pack_sequences": q_pack_sequences,
         "pricing_summary": q_pricing_summary,
         "top_events": q_top_events,
         "sessionize": q_sessionize,
@@ -2201,6 +2318,9 @@ def all_oracles():
         "multimodal_decode": SQL_MULTIMODAL,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "frame_sample": SQL_FRAME_SAMPLE,
+        "pii_scrub": _sql_pii_scrub(),
+        "vocab_stats": SQL_VOCAB_STATS,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_events": SQL_TOP_EVENTS,
         "sessionize": SQL_SESSIONIZE,

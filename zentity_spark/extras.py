@@ -21,6 +21,11 @@ Similarity search:
                        (deterministic, engine-independent)
 Text analysis:
   text_quality / language_id / token_counts / winnow_fingerprints
+  pii_scrub            regexp redaction (email/cc/phone/ip), counts +
+                       scrubbed text, pure column expressions
+  vocab_stats          corpus tf/df/idf, deterministic top-k
+  pack_sequences       greedy first-fit-sequential sample packing into
+                       fixed token budgets (bucketed applyInPandas)
 Multimodal:
   decode_media_batches mapInPandas over opaque binary columns: REAL
                        pure-stdlib decode of PNG/GIF/JPEG/PPM/PGM/WAV
@@ -1360,3 +1365,107 @@ def sample_frames(media: DataFrame, n_samples: int = 8,
             )
 
     return media.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+# ----------------------------------------------------------------------
+# PII scrubbing: pure column expressions (regexp_count / regexp_replace)
+# — the redaction stage every training-data pipeline runs before
+# tokenization. Patterns are written to the common Java-regex/RE2
+# subset (no lookaround, no \b) so the DuckDB oracle runs them verbatim.
+
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("cc", r"\d{4}[ \-]?\d{4}[ \-]?\d{4}[ \-]?\d{4}", "<CC>"),
+    ("phone", r"\d{3}[\- .]\d{3}[\- .]\d{4}", "<PHONE>"),
+    ("ip", r"(?:\d{1,3}\.){3}\d{1,3}", "<IP>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / credit-card numbers / phone numbers / IPv4
+    addresses. Counts are measured on the ORIGINAL text; replacements
+    apply sequentially in PII_PATTERNS order (cc before phone, so a
+    16-digit card is not half-eaten by the phone pattern). All JVM-side
+    — linear scan per row, no shuffle, trivially 100 TB-safe."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return docs.select(F.col(id_col), *counts, clean.alias("clean_text"))
+
+
+# ----------------------------------------------------------------------
+# Vocabulary / document-frequency stats: the TF-IDF building block.
+
+def vocab_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", top_n: int = 200) -> DataFrame:
+    """Corpus vocabulary: per-token term frequency, document frequency,
+    and idf = ln(N/df), top_n by tf. explode → two aggregations with
+    map-side partial combine; the token split stays in the Java-regex/
+    RE2 common subset. At 100 TB the groupBy shuffles skinny
+    (token, doc_id) rows only; top-k is a TakeOrdered, not a sort."""
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"[^\p{L}\p{N}]+")).alias("token"),
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("tf"),
+             F.countDistinct(id_col).alias("df"))
+        .withColumn("idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+# ----------------------------------------------------------------------
+# Sequence packing: greedy first-fit-sequential packing of documents
+# into fixed token budgets — the sample-packing stage that turns a
+# filtered corpus into dense training sequences.
+
+def pack_sequences(docs: DataFrame, budget: int = 128,
+                   n_buckets: int = 8, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Assign each document a (bucket, bin_idx, pos_in_bin): documents
+    are hashed into n_buckets independent packing streams (the unit of
+    parallelism — at 100 TB you raise n_buckets, not the per-task
+    state), ordered by id within a bucket, and packed greedily: a doc
+    opens a new bin when adding its whitespace-token count would
+    exceed `budget`. An oversized doc occupies a bin alone. The greedy
+    scan is inherently sequential per bucket, so it runs as one
+    applyInPandas pass per bucket — O(bucket) memory is bounded by
+    skinny (id, n_tokens) rows, never the text."""
+    import pandas as pd
+
+    counted = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_buckets).alias("bucket"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, poss = [], []
+        cur_bin, fill, pos = 0, 0, 0
+        first = True
+        for t in pdf["n_tokens"]:
+            if not first and fill + t > budget:
+                cur_bin += 1
+                fill, pos = 0, 0
+            bins.append(cur_bin)
+            poss.append(pos)
+            fill += int(t)
+            pos += 1
+            first = False
+        pdf["bin_idx"] = bins
+        pdf["pos_in_bin"] = poss
+        return pdf
+
+    schema = ("doc_id long, bucket long, n_tokens int,"
+              " bin_idx int, pos_in_bin int")
+    return counted.groupBy("bucket").applyInPandas(pack, schema)
