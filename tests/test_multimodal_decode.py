@@ -153,6 +153,8 @@ def test_resize_media_fake_and_edges(spark):
             (1, "image", payload, "{}"),          # unknown: fake dims + pixels
             (2, "image", None, "{}"),             # null payload
             (3, "image", b"P5\n4 4\n255\n\x01", "{}"),  # truncated raster -> fake
+            (4, "image", b"", "{}"),               # empty payload: fake dims
+            (5, "image", b"P5\n2 2\n65535\n" + b"\x00" * 8, "{}"),  # 16-bit PNM
         ],
         "media_id long, kind string, payload binary, meta string",
     )
@@ -166,6 +168,12 @@ def test_resize_media_fake_and_edges(spark):
     assert got[1]["pixels"] == pytest.approx(exp)
     assert got[2]["pixels"] == [0.0] * 16 and (got[2]["src_width"], got[2]["src_height"]) == (0, 0)
     assert not got[3]["resized_real"]  # raster shorter than w*h -> fallback
+    # empty payload mirrors decode_media_batches' fake dims, not 0x0
+    assert (got[4]["src_width"], got[4]["src_height"]) == (16, 16)
+    assert got[4]["pixels"] == [0.0] * 16
+    # 2-byte-sample PNM: header parses (sniff dims) but raster isn't
+    # byte-per-sample -> must NOT claim a real resize
+    assert not got[5]["resized_real"]
     assert all(len(r["pixels"]) == 16 for r in got.values())
 
 
@@ -207,3 +215,28 @@ def test_sample_frames_fake_byte_axis(spark):
     assert list(got[0]["frame_idx"]) == idxs
     assert got[0]["samples"] == pytest.approx([payload[i] / 255.0 for i in idxs])
     assert got[1]["n_frames"] == 0 and list(got[1]["frame_idx"]) == []
+
+
+def test_sample_frames_8bit_wav_unsigned(spark):
+    from zentity_spark.extras import sample_frames, sniff_decode
+
+    # 8-bit PCM stores UNSIGNED bytes with silence at 0x80: digital
+    # silence must normalize to 0.0, full-scale 0xFF to ~+0.996
+    nf = 16
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x80" * (nf - 1) + b"\xff")
+    payload = buf.getvalue()
+    df = spark.createDataFrame(
+        [(0, "audio", payload, "{}")],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    r = sample_frames(df, n_samples=4).collect()[0]
+    assert r["sampled_real"] and r["n_frames"] == nf
+    assert r["samples"][:3] == pytest.approx([0.0, 0.0, 0.0])
+    # decode feature path uses the same recentering
+    *_, feats = sniff_decode(payload)
+    assert feats[0] == pytest.approx(0.0)

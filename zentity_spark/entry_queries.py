@@ -1473,8 +1473,8 @@ SELECT a.doc_id AS id_l, b.doc_id AS id_r,
        round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
              / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
 FROM g a JOIN g b ON a.doc_id < b.doc_id
-WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.35
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35
 ORDER BY id_l, id_r
 """
 
@@ -1962,9 +1962,10 @@ SELECT media_id,
        CAST((L % 64) * 16 + 16 AS INT) AS src_width,
        CAST((L % 48) * 16 + 16 AS INT) AS src_height,
        CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
-       list_transform(range(0, 16), k ->
+       CASE WHEN L = 0 THEN list_transform(range(0, 16), k -> 0.0)
+            ELSE list_transform(range(0, 16), k ->
          CAST(CAST(('0x' || substr(hx, CAST(((k * L) // 16) * 2 + 1 AS INT), 2)) AS INT) AS DOUBLE) / 255.0
-       ) AS pixels,
+       ) END AS pixels,
        FALSE AS resized_real
 FROM b ORDER BY media_id
 """
@@ -2002,10 +2003,13 @@ WITH b AS (
 )
 SELECT media_id, 'video' AS kind,
        CAST(L AS INT) AS n_frames,
-       list_transform(range(0, 8), k -> CAST((k * L) // 8 AS INT)) AS frame_idx,
-       list_transform(range(0, 8), k ->
+       CASE WHEN L = 0 THEN list_transform(range(0, 0), k -> CAST(k AS INT))
+            ELSE list_transform(range(0, 8), k -> CAST((k * L) // 8 AS INT))
+       END AS frame_idx,
+       CASE WHEN L = 0 THEN list_transform(range(0, 0), k -> CAST(k AS DOUBLE))
+            ELSE list_transform(range(0, 8), k ->
          CAST(CAST(('0x' || substr(hx, CAST(((k * L) // 8) * 2 + 1 AS INT), 2)) AS INT) AS DOUBLE) / 255.0
-       ) AS samples,
+       ) END AS samples,
        FALSE AS sampled_real
 FROM b ORDER BY media_id
 """

@@ -249,15 +249,17 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         cand.join(sets.withColumnRenamed("doc_id", "id_l").withColumnRenamed("g", "g_l"), "id_l")
         .join(sets.withColumnRenamed("doc_id", "id_r").withColumnRenamed("g", "g_r"), "id_r")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("g_l", "g_r"))
-                / F.size(F.array_union("g_l", "g_r")),
-                6,
-            ),
+            "jacc_exact",
+            F.size(F.array_intersect("g_l", "g_r"))
+            / F.size(F.array_union("g_l", "g_r")),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_l", "id_r", "jaccard")
+        # verify on the EXACT value — the prefix filter is sized for the
+        # exact threshold, so comparing a rounded value here would admit
+        # pairs (true J within 5e-7 below t) that the filter is allowed
+        # to drop, breaking the lossless guarantee; round only the
+        # reported column
+        .where(F.col("jacc_exact") >= threshold)
+        .select("id_l", "id_r", F.round("jacc_exact", 6).alias("jaccard"))
     )
 
 
@@ -1072,26 +1074,12 @@ def sniff_decode(p: bytes):
                 return w, h, 1, [float(b) / 255.0 for b in p[i + 9:i + 17]]
             i += 2 + struct.unpack(">H", p[i + 2:i + 4])[0]
         return None
-    if p[:2] in (b"P5", b"P6"):  # PGM/PPM: ASCII header, '#' comments
-        toks: list[bytes] = []
-        i = 2
-        while len(toks) < 3 and i < len(p):
-            while i < len(p) and p[i:i + 1].isspace():
-                i += 1
-            if p[i:i + 1] == b"#":
-                while i < len(p) and p[i] != 0x0A:
-                    i += 1
-                continue
-            j = i
-            while j < len(p) and not p[j:j + 1].isspace():
-                j += 1
-            toks.append(p[i:j])
-            i = j
-        try:
-            w, h = int(toks[0]), int(toks[1])
-        except (ValueError, IndexError):
+    if p[:2] in (b"P5", b"P6"):  # PGM/PPM: one shared header parser
+        pnm = _parse_pnm(p)
+        if pnm is None:
             return None
-        return w, h, 1, [float(b) / 255.0 for b in p[i + 1:i + 9]]
+        w, h, _maxval, _ch, off = pnm
+        return w, h, 1, [float(b) / 255.0 for b in p[off:off + 8]]
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         import io
         import wave
@@ -1105,7 +1093,10 @@ def sniff_decode(p: bytes):
                 for k in range(0, min(len(raw), 8 * sw), sw):
                     v = int.from_bytes(raw[k:k + sw], "little",
                                        signed=(sw > 1))
-                    feats.append(v / float(2 ** (8 * sw - 1)))
+                    # 8-bit PCM is stored UNSIGNED (silence = 0x80):
+                    # recenter before normalizing so silence → 0.0
+                    feats.append((v - 128) / 128.0 if sw == 1
+                                 else v / float(2 ** (8 * sw - 1)))
                 return wf.getframerate(), wf.getnchannels(), nf, feats
         except (wave.Error, EOFError):
             return None
@@ -1144,8 +1135,7 @@ def decode_media_batches(media: DataFrame, stub: bool = True) -> DataFrame:
                     )
                 else:
                     # deterministic fake: dimensions from payload bytes
-                    w = (len(p) % 64) * 16 + 16
-                    h = (len(p) % 48) * 16 + 16
+                    w, h = _fake_dims(p)
                     nf = 1
                     fv = [float(b) / 255.0 for b in p[:8]]
                 widths.append(w)
@@ -1170,9 +1160,9 @@ def decode_media_batches(media: DataFrame, stub: bool = True) -> DataFrame:
 
 def _parse_pnm(p: bytes):
     """Parse a P5 (PGM) / P6 (PPM) header → (w, h, maxval, channels,
-    raster_offset) or None. Mirrors the header walk in sniff_decode but
-    also returns where the raster starts, for operators that consume
-    the actual pixels (resize)."""
+    raster_offset) or None. The ONE header walk shared by sniff_decode
+    (dims + feature bytes) and resize_media (full-raster resize);
+    callers decide what maxval range they can consume."""
     if p[:2] not in (b"P5", b"P6"):
         return None
     channels = 1 if p[:2] == b"P5" else 3
@@ -1194,9 +1184,16 @@ def _parse_pnm(p: bytes):
         w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
     except (ValueError, IndexError):
         return None
-    if maxval <= 0 or maxval > 255:  # 2-byte-sample PNM not supported
+    if maxval <= 0:
         return None
     return w, h, maxval, channels, i + 1
+
+
+def _fake_dims(p: bytes) -> tuple[int, int]:
+    """Deterministic fallback dimensions for codec-requiring payloads —
+    the ONE formula shared by decode_media_batches, resize_media, and
+    their DuckDB oracles (SQL_MULTIMODAL / SQL_MULTIMODAL_RESIZE)."""
+    return (len(p) % 64) * 16 + 16, (len(p) % 48) * 16 + 16
 
 
 RESIZE_SCHEMA = (
@@ -1239,13 +1236,13 @@ def resize_media(media: DataFrame, out_w: int = 4, out_h: int = 4,
 
         for pdf in iterator:
             sw_l, sh_l, px_l, real_l = [], [], [], []
-            for p in pdf["payload"]:
-                p = bytes(p) if p is not None else b""
+            for raw_p in pdf["payload"]:
+                p = bytes(raw_p) if raw_p is not None else b""
                 pnm = _parse_pnm(p)
                 if pnm is not None:
                     w, h, maxval, ch, off = pnm
                     need = off + w * h * ch
-                    if len(p) >= need and w > 0 and h > 0:
+                    if maxval <= 255 and len(p) >= need and w > 0 and h > 0:
                         out = []
                         for y in range(out_h):
                             sy = (y * h) // out_h
@@ -1264,11 +1261,12 @@ def resize_media(media: DataFrame, out_w: int = 4, out_h: int = 4,
                     )
                 if got is not None:
                     w, h = got[0], got[1]
-                elif not p:
+                elif raw_p is None:
+                    # mirror decode_media_batches: a NULL payload is
+                    # 0×0; an EMPTY payload gets the fake dims (16×16)
                     w, h = 0, 0
                 else:
-                    w = (len(p) % 64) * 16 + 16
-                    h = (len(p) % 48) * 16 + 16
+                    w, h = _fake_dims(p)
                 sw_l.append(w); sh_l.append(h)
                 px_l.append(fake_pixels(p)); real_l.append(False)
             yield pd.DataFrame(
@@ -1337,7 +1335,9 @@ def sample_frames(media: DataFrame, n_samples: int = 8,
                                 b0 = fi * sw * nch
                                 v = int.from_bytes(raw[b0:b0 + sw], "little",
                                                    signed=(sw > 1))
-                                vals.append(v / float(2 ** (8 * sw - 1)))
+                                # 8-bit PCM is unsigned (silence 0x80)
+                                vals.append((v - 128) / 128.0 if sw == 1
+                                            else v / float(2 ** (8 * sw - 1)))
                             nf_l.append(nf); idx_l.append(idxs)
                             val_l.append(vals); real_l.append(True)
                             continue
@@ -1407,8 +1407,11 @@ def vocab_stats(docs: DataFrame, text_col: str = "text",
     and idf = ln(N/df), top_n by tf. explode → two aggregations with
     map-side partial combine; the token split stays in the Java-regex/
     RE2 common subset. At 100 TB the groupBy shuffles skinny
-    (token, doc_id) rows only; top-k is a TakeOrdered, not a sort."""
-    n_docs = docs.count()
+    (token, doc_id) rows only; top-k is a TakeOrdered, not a sort.
+    N rides along as a broadcast single-row aggregate so the function
+    stays a lazy plan builder — no separate count() action at call
+    time."""
+    n = docs.agg(F.count("*").cast("double").alias("_n_docs"))
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"[^\p{L}\p{N}]+")).alias("token"),
@@ -1417,7 +1420,9 @@ def vocab_stats(docs: DataFrame, text_col: str = "text",
         toks.groupBy("token")
         .agg(F.count("*").alias("tf"),
              F.countDistinct(id_col).alias("df"))
-        .withColumn("idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+        .crossJoin(F.broadcast(n))
+        .withColumn("idf", F.round(F.log(F.col("_n_docs") / F.col("df")), 6))
+        .drop("_n_docs")
         .orderBy(F.desc("tf"), F.asc("token"))
         .limit(top_n)
     )
