@@ -84,3 +84,26 @@ def test_pack_sequences_buckets_independent(spark):
     # each bucket has two 60-token docs -> both fit in bin 0
     for rs in by_bucket.values():
         assert sorted((r["bin_idx"], r["pos_in_bin"]) for r in rs) == [(0, 0), (0, 1)]
+
+
+def test_curate_corpus_composition(spark):
+    from zentity_spark.extras import curate_corpus
+
+    long24 = " ".join(f"tok{i}" for i in range(24))
+    rows = [
+        (0, long24),                        # survivor
+        (1, long24),                        # exact dup of 0 -> dropped
+        (2, "too short"),                   # quality gate -> dropped
+        (3, " ".join(["the"] * 200)),       # oversized survivor (own bin)
+        (8, long24),                        # same bucket as 0 (mod 8)
+    ]
+    got = {r["doc_id"]: r for r in curate_corpus(
+        docs_df(spark, rows), min_tokens=24, budget=256, n_buckets=8
+    ).collect()}
+    assert set(got) == {0, 3, 8}            # 1 deduped, 2 quality-dropped
+    # bucket 0 packs docs 0 and 8 (24+24 <= 256) into bin 0
+    assert (got[0]["bin_idx"], got[0]["pos_in_bin"]) == (0, 0)
+    assert (got[8]["bin_idx"], got[8]["pos_in_bin"]) == (0, 1)
+    assert got[3]["bucket"] == 3 and got[3]["bin_idx"] == 0
+    assert got[3]["pred_lang"] == "en"      # 200x 'the'
+    assert got[0]["n_tokens"] == 24

@@ -1825,7 +1825,7 @@ def q_language_id(spark, sf_dir):
     return language_id(d).orderBy("doc_id")
 
 
-def _sql_language_id() -> str:
+def _sql_language_id(src: str = "documents") -> str:
     # single source of truth: the oracle mirrors the engine's own
     # marker/script tables (extras._LANG_MARKERS / _LANG_SCRIPTS)
     from zentity_spark.extras import _LANG_MARKERS, _LANG_SCRIPTS
@@ -1846,10 +1846,82 @@ def _sql_language_id() -> str:
     })
     structs = ", ".join(f"{{'hits': {h}, 'lang': '{lang}'}}" for lang, h in sorted(hits.items()))
     return f"""
-WITH w AS (SELECT doc_id, text, {_SQL_WORDS} AS words FROM documents),
+WITH w AS (SELECT doc_id, text, {_SQL_WORDS} AS words FROM {src}),
 s AS (SELECT doc_id, list_max([{structs}]) AS best FROM w)
 SELECT doc_id, CASE WHEN best['hits'] > 0 THEN best['lang'] ELSE 'unknown' END AS pred_lang
 FROM s ORDER BY doc_id
+"""
+
+
+def q_corpus_curation(spark, sf_dir):
+    """The composed training-data pipeline (extras.curate_corpus):
+    exact dedup → quality gate (n_tokens ≥ 24) → language tag →
+    256-token greedy packing, one row per surviving doc. Duplicates are
+    INJECTED deterministically (every 50th doc re-appears under
+    doc_id+1M) so the dedup stage provably bites in the oracle
+    comparison; the quality gate drops the short-doc tail (~25% at
+    these SFs). The oracle recomposes every stage from the individual
+    ops' already-green SQL fragments plus the packing recursive CTE."""
+    from zentity_spark.extras import curate_corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    inj = d.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return curate_corpus(d.unionByName(inj)).orderBy("doc_id")
+
+
+def _sql_corpus_curation() -> str:
+    lang_body = _sql_language_id("kept")
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+cw AS (SELECT doc_id, text, {_SQL_WORDS} AS words FROM corpus),
+qual AS (
+  SELECT doc_id, len(words) AS n_tokens,
+         CAST(strlen(text) - strlen(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           / greatest(strlen(text), 1) AS punct_ratio
+  FROM cw
+),
+ded AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5({_SQL_CANON})) AS keep_id
+  FROM corpus
+),
+kept AS (
+  SELECT c.doc_id, c.text FROM corpus c
+  JOIN ded ON ded.doc_id = c.doc_id
+  JOIN qual ON qual.doc_id = c.doc_id
+  WHERE ded.keep_id = c.doc_id AND qual.n_tokens >= 24
+    AND qual.punct_ratio <= 0.5
+),
+lang AS ({lang_body}),
+pc AS (
+  SELECT doc_id, doc_id % 8 AS bucket,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM kept
+),
+p AS (
+  SELECT doc_id, bucket, n_tokens, rn,
+         CAST(0 AS INT) AS bin_idx, CAST(0 AS INT) AS pos_in_bin,
+         n_tokens AS fill
+  FROM pc WHERE rn = 1
+  UNION ALL
+  SELECT pc.doc_id, pc.bucket, pc.n_tokens, pc.rn,
+         CAST(CASE WHEN p.fill + pc.n_tokens > 256 THEN p.bin_idx + 1
+                   ELSE p.bin_idx END AS INT),
+         CAST(CASE WHEN p.fill + pc.n_tokens > 256 THEN 0
+                   ELSE p.pos_in_bin + 1 END AS INT),
+         CAST(CASE WHEN p.fill + pc.n_tokens > 256 THEN pc.n_tokens
+                   ELSE p.fill + pc.n_tokens END AS INT)
+  FROM p JOIN pc ON pc.bucket = p.bucket AND pc.rn = p.rn + 1
+)
+SELECT p.doc_id, lang.pred_lang, p.bucket, p.n_tokens, p.bin_idx, p.pos_in_bin
+FROM p JOIN lang ON lang.doc_id = p.doc_id
+ORDER BY p.doc_id
 """
 
 
@@ -2268,6 +2340,7 @@ def all_queries():
         "pii_scrub": q_pii_scrub,
         "vocab_stats": q_vocab_stats,
         "pack_sequences": q_pack_sequences,
+        "corpus_curation": q_corpus_curation,
         "pricing_summary": q_pricing_summary,
         "top_events": q_top_events,
         "sessionize": q_sessionize,
@@ -2325,6 +2398,7 @@ def all_oracles():
         "pii_scrub": _sql_pii_scrub(),
         "vocab_stats": SQL_VOCAB_STATS,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "corpus_curation": _sql_corpus_curation(),
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_events": SQL_TOP_EVENTS,
         "sessionize": SQL_SESSIONIZE,

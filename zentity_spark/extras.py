@@ -1474,3 +1474,51 @@ def pack_sequences(docs: DataFrame, budget: int = 128,
     schema = ("doc_id long, bucket long, n_tokens int,"
               " bin_idx int, pos_in_bin int")
     return counted.groupBy("bucket").applyInPandas(pack, schema)
+
+
+# ----------------------------------------------------------------------
+# End-to-end corpus curation: the composed pipeline the individual ops
+# exist for — dedup -> quality filter -> language tag -> sequence pack.
+
+def curate_corpus(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", min_tokens: int = 24,
+                  max_punct_ratio: float = 0.5, budget: int = 256,
+                  n_buckets: int = 8) -> DataFrame:
+    """One curation pass over a raw document corpus:
+
+      1. exact_dedup      keep the min-id representative of each
+                          canonical-text group
+      2. text_quality     drop short (< min_tokens) and punctuation-
+                          heavy (> max_punct_ratio) docs
+      3. language_id      tag every survivor with its predicted language
+      4. pack_sequences   pack survivors into `budget`-token bins
+
+    → (doc_id, pred_lang, bucket, n_tokens, bin_idx, pos_in_bin), one
+    row per surviving document. Each stage is the already-tested
+    operator; this function is the composition, not a reimplementation.
+    Scale shape: dedup is one hash-keyed window, the quality gate is a
+    stateless column filter that prunes BEFORE language scoring and
+    packing (the expensive tail sees only survivors), and packing
+    shuffles skinny (id, n_tokens) rows into n_buckets independent
+    streams."""
+    src = docs.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("text"))
+    ded = exact_dedup(src)
+    qual = text_quality(src)
+    keep = (
+        ded.where(F.col("keep_id") == F.col("doc_id"))
+        .select("doc_id")
+        .join(
+            qual.where(
+                (F.col("n_tokens") >= min_tokens)
+                & (F.col("punct_ratio") <= max_punct_ratio)
+            ).select("doc_id"),
+            "doc_id",
+        )
+    )
+    kept = src.join(keep, "doc_id")
+    packed = pack_sequences(kept, budget=budget, n_buckets=n_buckets)
+    lang = language_id(kept)
+    return packed.join(lang, "doc_id").select(
+        "doc_id", "pred_lang", "bucket", "n_tokens", "bin_idx", "pos_in_bin"
+    )
