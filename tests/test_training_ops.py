@@ -90,12 +90,13 @@ def test_curate_corpus_composition(spark):
     from zentity_spark.extras import curate_corpus
 
     long24 = " ".join(f"tok{i}" for i in range(24))
+    other24 = " ".join(f"word{i}" for i in range(24))
     rows = [
         (0, long24),                        # survivor
         (1, long24),                        # exact dup of 0 -> dropped
         (2, "too short"),                   # quality gate -> dropped
         (3, " ".join(["the"] * 200)),       # oversized survivor (own bin)
-        (8, long24),                        # same bucket as 0 (mod 8)
+        (8, other24),                       # distinct text, same bucket as 0
     ]
     got = {r["doc_id"]: r for r in curate_corpus(
         docs_df(spark, rows), min_tokens=24, budget=256, n_buckets=8
