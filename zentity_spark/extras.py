@@ -231,9 +231,14 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         - F.ceil(F.lit(float(threshold)) * sz.cast("double") - F.lit(1e-9)).cast("int")
         + 1
     )
+    # checkpoint the two tables every downstream branch re-reads: the
+    # prefix index feeds BOTH sides of its self-join and the hashed
+    # sets feed both verify joins — without this each side re-runs the
+    # full tokenize → df-join → collect_list pipeline (same rule as
+    # simhash's fingerprint table)
     prefix = ordered.select(
         "doc_id", F.explode(F.slice(F.col("ordered"), F.lit(1), p)).alias("pg")
-    ).select("doc_id", F.col("pg.gram").alias("gram"))
+    ).select("doc_id", F.col("pg.gram").alias("gram")).localCheckpoint(eager=False)
     cand = (
         prefix.alias("l")
         .join(prefix.alias("r"), "gram")
@@ -244,7 +249,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     sets = docs.select(
         F.col(id_col).alias("doc_id"),
         F.transform(grams_col, lambda s: F.xxhash64(s)).alias("g"),
-    )
+    ).localCheckpoint(eager=False)
     return (
         cand.join(sets.withColumnRenamed("doc_id", "id_l").withColumnRenamed("g", "g_l"), "id_l")
         .join(sets.withColumnRenamed("doc_id", "id_r").withColumnRenamed("g", "g_r"), "id_r")
