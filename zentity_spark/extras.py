@@ -814,26 +814,36 @@ _LANG_SCRIPTS = {
 }
 
 
-def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Quality scoring: token count, mean token length, punctuation
-    ratio, stopword ratio (all JVM-side)."""
-    words = F.split(canonical_text(F.col(text_col)), " ")
+def text_quality_cols(text_col: Column) -> dict[str, Column]:
+    """The quality metrics as reusable column expressions, so callers
+    composing several per-doc stages (curate_corpus) can evaluate them
+    in the SAME scan instead of joining a separate text_quality pass."""
+    words = F.split(canonical_text(text_col), " ")
     n_tokens = F.size(words)
-    text_len = F.length(F.col(text_col))
-    n_punct = text_len - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    text_len = F.length(text_col)
+    n_punct = text_len - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
     stop_hits = F.aggregate(
         words,
         F.lit(0),
         lambda acc, w: acc + F.when(w.isin(STOPWORDS_EN), F.lit(1)).otherwise(F.lit(0)),
     )
+    return {
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": F.round(
+            F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_tokens, 6
+        ),
+        "punct_ratio": F.round(n_punct / F.greatest(text_len, F.lit(1)), 6),
+        "stopword_ratio": F.round(stop_hits / n_tokens, 6),
+    }
+
+
+def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality scoring: token count, mean token length, punctuation
+    ratio, stopword ratio (all JVM-side)."""
+    cols = text_quality_cols(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.round(
-            F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_tokens, 6
-        ).alias("mean_token_len"),
-        F.round(n_punct / F.greatest(text_len, F.lit(1)), 6).alias("punct_ratio"),
-        F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+        *(c.alias(name) for name, c in cols.items()),
     )
 
 
@@ -1500,28 +1510,29 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
 
     → (doc_id, pred_lang, bucket, n_tokens, bin_idx, pos_in_bin), one
     row per surviving document. Each stage is the already-tested
-    operator; this function is the composition, not a reimplementation.
-    Scale shape: dedup is one hash-keyed window, the quality gate is a
-    stateless column filter that prunes BEFORE language scoring and
-    packing (the expensive tail sees only survivors), and packing
-    shuffles skinny (id, n_tokens) rows into n_buckets independent
-    streams."""
-    src = docs.select(F.col(id_col).alias("doc_id"),
-                      F.col(text_col).alias("text"))
-    ded = exact_dedup(src)
-    qual = text_quality(src)
-    keep = (
-        ded.where(F.col("keep_id") == F.col("doc_id"))
-        .select("doc_id")
-        .join(
-            qual.where(
-                (F.col("n_tokens") >= min_tokens)
-                & (F.col("punct_ratio") <= max_punct_ratio)
-            ).select("doc_id"),
-            "doc_id",
-        )
+    operator (quality metrics via the shared text_quality_cols
+    expressions, dedup via exact_dedup's window rule); the composition
+    evaluates dedup + quality in ONE scan of the corpus (the dedup
+    window shuffles by text hash anyway, so the quality expressions
+    ride along for free), prunes, then runs language scoring and
+    packing over survivors only — two corpus-sized passes total, and
+    the packing shuffle moves skinny (id, n_tokens) rows into
+    n_buckets independent streams."""
+    qcols = text_quality_cols(F.col(text_col))
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        qcols["n_tokens"].alias("n_tokens"),
+        qcols["punct_ratio"].alias("punct_ratio"),
+        F.md5(canonical_text(F.col(text_col))).alias("text_hash"),
+    ).withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("text_hash"))
     )
-    kept = src.join(keep, "doc_id")
+    kept = scored.where(
+        (F.col("keep_id") == F.col("doc_id"))
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+    ).select("doc_id", "text").localCheckpoint(eager=False)
     packed = pack_sequences(kept, budget=budget, n_buckets=n_buckets)
     lang = language_id(kept)
     return packed.join(lang, "doc_id").select(
