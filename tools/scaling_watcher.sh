@@ -21,7 +21,7 @@ EOF
   if [ "$ok" = "1" ]; then
     echo "$(date -u +%H:%M:%SZ) window open - probing 2,8" >> "$LOG"
     python tools/run_scaling.py >> "$LOG" 2>&1
-    eff=$(python -c "import json; print(json.load(open('BENCH_SCALING.json')).get('efficiency', 0))")
+    eff=$(python -c "import json; d=json.load(open('BENCH_SCALING.json')); print(d.get('latest', d).get('efficiency', 0))")
     echo "$(date -u +%H:%M:%SZ) probe 2,8 efficiency: $eff" >> "$LOG"
     done_=$(python -c "print(1 if float('$eff') >= 0.8 else 0)")
     [ "$done_" = "1" ] && echo "BANKED" >> "$LOG" && exit 0
@@ -32,7 +32,7 @@ EOF
     echo "$(date -u +%H:%M:%SZ) retrying at levels 1,4" >> "$LOG"
     BENCH_SCALING_LEVELS=1,4 BENCH_SCALING_ENTITIES=200000 \
       python tools/run_scaling.py >> "$LOG" 2>&1
-    eff=$(python -c "import json; print(json.load(open('BENCH_SCALING.json')).get('efficiency', 0))")
+    eff=$(python -c "import json; d=json.load(open('BENCH_SCALING.json')); print(d.get('latest', d).get('efficiency', 0))")
     echo "$(date -u +%H:%M:%SZ) probe 1,4 efficiency: $eff" >> "$LOG"
     done_=$(python -c "print(1 if float('$eff') >= 0.8 else 0)")
     [ "$done_" = "1" ] && echo "BANKED" >> "$LOG" && exit 0
