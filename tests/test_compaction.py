@@ -153,7 +153,8 @@ def test_incremental_resolve_with_maintenance(spark, tmp_path):
     stream2 = read_turn_stream(spark, in_dir, max_files_per_trigger=1)
     q2 = incremental_resolve(spark, stream2, Model(MODEL), out_root,
                              checkpoint_dir=str(tmp_path / "ck2"),
-                             maintain_every=1)
+                             maintain_every=1,
+                             rebind_checkpoint=True)
     q2.awaitTermination(300)
     for t, n in counts.items():
         assert len(store.snapshots(t, include_replaced=True)) == n, t

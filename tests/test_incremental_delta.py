@@ -174,7 +174,11 @@ def test_delta_crash_between_cmembers_and_assign(spark, tmp_path):
     stream2 = read_turn_stream(spark, in_dir, max_files_per_trigger=1)
     q2 = incremental_resolve(spark, stream2, Model(MODEL), out_root,
                              checkpoint_dir=str(tmp_path / "ck2"),
-                             clusters_mode="delta")
+                             clusters_mode="delta",
+                             # deliberate replay of the same input via a
+                             # fresh checkpoint — the lineage guard
+                             # rightly rejects this without the sanction
+                             rebind_checkpoint=True)
     q2.awaitTermination(300)
 
     cur = {r["record_id"]: r["cluster_id"]

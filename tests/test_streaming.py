@@ -337,3 +337,132 @@ def test_stream_store_layout_guard(spark, tmp_path):
         incremental_resolve(spark, read_turn_stream(spark, path),
                             Model(MODEL), out_root,
                             checkpoint_dir=str(tmp_path / "ck"))
+
+
+WEIGHTED_MODEL = {
+    "attributes": {"k": {}, "m": {}},
+    "resolvers": {
+        "rlo": {"attributes": ["k"], "weight": 1},
+        "rhi": {"attributes": ["m"], "weight": 5},
+    },
+    "matchers": {"exact": {"clause": {"term": {"{{ field }}": "{{ value }}"}}}},
+    "indices": {"default": {"fields": {
+        "key": {"attribute": "k", "matcher": "exact"},
+        "m": {"attribute": "m", "matcher": "exact"},
+    }}},
+}
+
+
+def test_incremental_weight_gate_uses_committed_field_presence(spark, tmp_path):
+    """Weight-tier exists-gates must read an OLD pair partner's
+    attribute-named-field presence from the store (committed at its
+    ingest batch), not the current batch's turns. q (batch 0) and p
+    (batch 1) share k=7 (low weight) but disagree on m (high weight),
+    and both carry a physical field named exactly 'm' — the reference's
+    must_not(exists) gate therefore BLOCKS the edge. Rebuilding q's
+    fields from batch 1's turns would find nothing, pass the gate
+    vacuously, and merge what the batch path keeps apart."""
+    from zentity_spark.model import Model
+    from zentity_spark.streaming import (current_assignments,
+                                         incremental_resolve,
+                                         read_turn_stream)
+    from zentity_spark.storage import SnapshotStore
+
+    rows = [
+        ("q", 0, "user", "key=7 m=AAA", None, "2024-01-01 00:00:00"),
+        ("p", 0, "user", "key=7 m=BBB", None, "2024-01-01 01:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    base = str(tmp_path / "in")
+    df.where(F.col("conv_id") == "q").coalesce(1).write.parquet(base)
+    df.where(F.col("conv_id") == "p").coalesce(1).write.mode("append").parquet(base)
+
+    out_root = str(tmp_path / "inc")
+    q = incremental_resolve(
+        spark,
+        read_turn_stream(spark, base, max_files_per_trigger=1),
+        Model(WEIGHTED_MODEL), out_root,
+        checkpoint_dir=str(tmp_path / "ck"), n_buckets=8,
+        clusters_mode="delta",
+    )
+    q.awaitTermination(300)
+    store = SnapshotStore(out_root)
+    cur = {r["record_id"]: r["cluster_id"]
+           for r in current_assignments(spark, store).collect()}
+    # the gate blocks the k-edge: p and q stay separate entities,
+    # exactly like resolve_all on the combined corpus
+    assert cur["p"] != cur["q"]
+
+    # control: without the attribute-named field, the escape clause
+    # applies and the same k-match IS an edge
+    rows2 = [
+        ("q", 0, "user", "key=7", None, "2024-01-01 00:00:00"),
+        ("p", 0, "user", "key=7", None, "2024-01-01 01:00:00"),
+    ]
+    df2 = spark.createDataFrame(
+        rows2,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    base2 = str(tmp_path / "in2")
+    df2.where(F.col("conv_id") == "q").coalesce(1).write.parquet(base2)
+    df2.where(F.col("conv_id") == "p").coalesce(1).write.mode("append").parquet(base2)
+    out2 = str(tmp_path / "inc2")
+    q2 = incremental_resolve(
+        spark,
+        read_turn_stream(spark, base2, max_files_per_trigger=1),
+        Model(WEIGHTED_MODEL), out2,
+        checkpoint_dir=str(tmp_path / "ck_b"), n_buckets=8,
+        clusters_mode="delta",
+    )
+    q2.awaitTermination(300)
+    cur2 = {r["record_id"]: r["cluster_id"]
+            for r in current_assignments(spark, SnapshotStore(out2)).collect()}
+    assert cur2["p"] == cur2["q"]
+
+
+def test_stream_checkpoint_lineage_guard(spark, tmp_path):
+    """Batch ids come from the checkpoint; a rerun against a committed
+    store without the original checkpoint restarts them at 0 and every
+    'new' batch is silently skipped as a replay. The lineage binding
+    turns each silent-loss path into a hard error: no checkpoint on
+    resume, a wiped/new checkpoint, or a checkpoint reused across
+    stores. rebind_checkpoint sanctions a deliberate same-input replay."""
+    from zentity_spark.model import Model
+    from zentity_spark.streaming import (_CKPT_ID_FILE, incremental_resolve,
+                                         read_turn_stream)
+
+    path = _write_turn_files(spark, str(tmp_path), split=4)
+    out_root = str(tmp_path / "inc")
+    ck = str(tmp_path / "ck")
+    q = incremental_resolve(spark, read_turn_stream(spark, path),
+                            Model(MODEL), out_root,
+                            checkpoint_dir=ck, n_buckets=64)
+    q.awaitTermination(240)
+    assert os.path.exists(os.path.join(ck, _CKPT_ID_FILE))
+
+    # resume without any checkpoint: batch ids would restart -> error
+    with pytest.raises(ValueError, match="requires the ORIGINAL checkpoint"):
+        incremental_resolve(spark, read_turn_stream(spark, path),
+                            Model(MODEL), out_root, n_buckets=64)
+    # resume with a fresh (or wiped) checkpoint: lineage mismatch
+    with pytest.raises(ValueError, match="bound to checkpoint lineage"):
+        incremental_resolve(spark, read_turn_stream(spark, path),
+                            Model(MODEL), out_root,
+                            checkpoint_dir=str(tmp_path / "ck_other"),
+                            n_buckets=64)
+    # reusing this checkpoint for a DIFFERENT store: its processed-files
+    # log would skip the new store's input -> error
+    with pytest.raises(ValueError, match="belongs to another"):
+        incremental_resolve(spark, read_turn_stream(spark, path),
+                            Model(MODEL), str(tmp_path / "inc_fresh"),
+                            checkpoint_dir=ck, n_buckets=64)
+    # the original pairing still resumes cleanly (no new files: no-op)
+    q2 = incremental_resolve(spark, read_turn_stream(spark, path),
+                             Model(MODEL), out_root,
+                             checkpoint_dir=ck, n_buckets=64)
+    q2.awaitTermination(240)

@@ -181,6 +181,11 @@ def main(argv=None):
     s.add_argument("--clusters-mode", choices=["full", "delta"], default="full")
     s.add_argument("--n-buckets", type=int, default=64)
     s.add_argument("--max-files-per-trigger", type=int, default=None)
+    s.add_argument("--rebind-checkpoint", action="store_true",
+                   help="sanction replaying the SAME input through a "
+                        "new checkpoint (e.g. checkpoint lost, source "
+                        "replayable): adopts the new lineage; committed "
+                        "batches replay as fingerprint no-ops")
     s.add_argument("--assignments-output", default=None,
                    help="also write the materialized (record_id, "
                         "cluster_id) view as parquet to this path")
@@ -280,6 +285,7 @@ def main(argv=None):
             spark, stream, model, args.output,
             checkpoint_dir=args.checkpoint, n_buckets=args.n_buckets,
             clusters_mode=args.clusters_mode,
+            rebind_checkpoint=args.rebind_checkpoint,
         )
         q.awaitTermination()
         store = SnapshotStore(args.output)

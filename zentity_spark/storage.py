@@ -133,11 +133,23 @@ class SnapshotStore:
             "committed_at": time.time(),
             **(extra or {}),
         }
-        # atomic commit: write manifest to a temp file, rename into place
+        # atomic + DURABLE commit: fsync the manifest bytes before the
+        # rename and the directory entry after it — without the fsyncs a
+        # power loss can leave a VISIBLE zero-length manifest (rename
+        # journaled before the data), which would brick every later
+        # snapshots() with a JSONDecodeError instead of the documented
+        # "orphan data dir, no visible snapshot" crash contract
         fd, tmp = tempfile.mkstemp(dir=snap_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.rename(tmp, os.path.join(snap_dir, f"{seq:08d}.json"))
+        dfd = os.open(snap_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         return manifest
 
     def read(self, spark: SparkSession, table: str,

@@ -53,8 +53,13 @@ TURNS_SCHEMA = (
 # Physical layout of an incremental_resolve store. Bump when the table
 # set / bucketing scheme changes incompatibly (a store written under an
 # older layout must be rejected on resume, not silently mis-read).
-STREAM_LAYOUT_VERSION = 1
+# v2: adds the attrfields table (per-record attribute-named-field
+# presence committed at ingest — weight-tier gates read it instead of
+# the current batch's turns) and the checkpoint lineage binding.
+STREAM_LAYOUT_VERSION = 2
 _STREAM_META = "stream_meta.json"
+_STREAM_LINEAGE = "stream_lineage"
+_CKPT_ID_FILE = "zentity_stream_id"
 
 # Skinny blocking-key row shape — shared by the two empty-frame
 # fallbacks in process_batch so they cannot silently diverge.
@@ -110,6 +115,81 @@ def _check_stream_meta(output_root: str, n_buckets: int,
     with open(tmp, "w") as fh:
         json.dump(want, fh)
     os.replace(tmp, meta_path)
+
+
+def _bind_checkpoint_lineage(output_root: str, checkpoint_dir: str | None,
+                             has_batches: bool, rebind: bool = False) -> None:
+    """Bind the store to ONE streaming-checkpoint lineage.
+
+    Batch fingerprints are 'batch-<id>', and batch ids are assigned by
+    the checkpoint: a rerun against the same store WITHOUT the original
+    checkpoint restarts ids at 0, so every new batch collides with a
+    committed fingerprint and is silently skipped — the store stops
+    ingesting with rc=0. Hence: (a) resuming a store with committed
+    batches requires a checkpoint_dir; (b) the checkpoint carries an id
+    file and the store records it, and any mismatch (wiped checkpoint,
+    checkpoint reused across stores) is a hard error instead of silent
+    data loss."""
+    lineage_path = os.path.join(output_root, _STREAM_LINEAGE)
+    store_id = None
+    if os.path.exists(lineage_path):
+        with open(lineage_path) as fh:
+            store_id = fh.read().strip()
+    if checkpoint_dir is None:
+        if has_batches or store_id is not None:
+            raise ValueError(
+                f"stream store at {output_root} has committed batches; "
+                "resuming requires the ORIGINAL checkpoint_dir — without "
+                "it batch ids restart at 0, collide with committed "
+                "batch fingerprints, and new data is silently skipped"
+            )
+        return  # single ephemeral run against a fresh store
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    ckpt_path = os.path.join(checkpoint_dir, _CKPT_ID_FILE)
+    ckpt_id = None
+    if os.path.exists(ckpt_path):
+        with open(ckpt_path) as fh:
+            ckpt_id = fh.read().strip()
+    if rebind:
+        # operator-sanctioned rebind (deliberate replay of the SAME
+        # input through a new checkpoint — e.g. checkpoint lost but the
+        # source is replayable from the start): adopt the new lineage.
+        # Per-table fingerprint checks make the replayed commits no-ops.
+        import uuid
+
+        new_id = ckpt_id or uuid.uuid4().hex
+        with open(ckpt_path, "w") as fh:
+            fh.write(new_id)
+        with open(lineage_path, "w") as fh:
+            fh.write(new_id)
+        return
+    if store_id is None and ckpt_id is None:
+        import uuid
+
+        new_id = uuid.uuid4().hex
+        # checkpoint first: a crash between the two writes leaves a
+        # bound checkpoint + unbound store, which the branch below
+        # rejects loudly (recreate either) — never a silent mismatch
+        with open(ckpt_path, "w") as fh:
+            fh.write(new_id)
+        with open(lineage_path, "w") as fh:
+            fh.write(new_id)
+        return
+    if store_id is None:
+        raise ValueError(
+            f"checkpoint {checkpoint_dir} already belongs to another "
+            "stream (or a bind crashed mid-write): its processed-files "
+            "log would silently skip this store's input — use a fresh "
+            "checkpoint_dir for a fresh store"
+        )
+    if ckpt_id != store_id:
+        raise ValueError(
+            f"stream store at {output_root} is bound to checkpoint "
+            f"lineage {store_id}, but {checkpoint_dir} has "
+            f"{ckpt_id or 'no id (wiped or new)'} — batch ids from a "
+            "different checkpoint collide with committed fingerprints; "
+            "restore the original checkpoint or recreate the store"
+        )
 
 
 # Scan-row metrics are taken as count() over a localCheckpoint()ed
@@ -169,22 +249,44 @@ ASSEMBLY_STATE_SCHEMA = "turns array<struct<turn_idx:int,text:string>>"
 ASSEMBLY_OUT_SCHEMA = "conv_id string, conv_text string, n_turns long"
 
 
-def assemble_conversations_stateful(stream_turns: DataFrame) -> DataFrame:
+def assemble_conversations_stateful(
+        stream_turns: DataFrame, watermark: str | None = None,
+        evict_gap_seconds: int = 1800) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): accumulate
     each conversation's turns in group state and emit the CURRENT
     assembly on every update — the streaming form of
     transcripts.assemble_conversations, preserving the per-turn text
-    equality invariant under (conv_id, turn_idx) ordering. Update-mode
-    consumers keep the latest row per conv_id."""
+    equality invariant under (conv_id, turn_idx) ordering (null-text
+    turns are skipped, exactly like the batch path's concat_ws).
+    Update-mode consumers keep the latest row per conv_id.
+
+    State eviction: with `watermark` set (e.g. "30 minutes"), a
+    conversation's state is dropped `evict_gap_seconds` after the
+    watermark passes its last activity — the per-key size is bounded by
+    conversation length either way, but without eviction the KEY COUNT
+    grows with the whole corpus, which no long-running deployment can
+    afford. watermark=None keeps everything (finite replays, tests)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def assemble(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed last activity + gap: the conversation is
+            # closed; its final assembly was already emitted on its last
+            # update (update-mode consumers hold it)
+            state.remove()
+            return
         turns: list = list(state.get[0]) if state.exists else []
         for pdf in pdfs:
             for ti, tx in zip(pdf["turn_idx"], pdf["text"]):
+                if tx is None or (isinstance(tx, float) and tx != tx):
+                    continue  # batch parity: concat_ws skips null text
                 turns.append((int(ti), str(tx)))
         turns.sort()
         state.update((turns,))
+        if watermark is not None:
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + evict_gap_seconds * 1000
+            )
         import pandas as pd
 
         yield pd.DataFrame(
@@ -195,14 +297,19 @@ def assemble_conversations_stateful(stream_turns: DataFrame) -> DataFrame:
             }
         )
 
+    src = stream_turns
+    timeout = GroupStateTimeout.NoTimeout
+    if watermark is not None:
+        src = src.withWatermark("ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return (
-        stream_turns.groupBy("conv_id")
+        src.groupBy("conv_id")
         .applyInPandasWithState(
             assemble,
             outputStructType=ASSEMBLY_OUT_SCHEMA,
             stateStructType=ASSEMBLY_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 
@@ -275,7 +382,8 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
                         checkpoint_dir: str | None = None,
                         n_buckets: int = 64, metrics: bool = True,
                         maintain_every: int | None = 1,
-                        clusters_mode: str = "full"):
+                        clusters_mode: str = "full",
+                        rebind_checkpoint: bool = False):
     """Incremental record linkage via foreachBatch — O(batch) per
     micro-batch, not O(corpus). Committed tables (append snapshots):
 
@@ -345,11 +453,22 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
     from zentity_spark.pairs import gate_edges, verify_pairs
     from zentity_spark.pipeline import ResolutionConfig, _cluster_assignments
     from zentity_spark.storage import SnapshotStore
-    from zentity_spark.transcripts import build_records, build_values, parse_turns
+    from zentity_spark.transcripts import (attr_name_field_presence,
+                                           build_records, build_values,
+                                           parse_turns)
 
     if clusters_mode not in ("full", "delta"):
         raise ValueError(f"clusters_mode must be full|delta: {clusters_mode}")
     config = config or ResolutionConfig()
+    if config.max_value_frequency is not None:
+        raise ValueError(
+            "max_value_frequency is not supported on the streaming path: "
+            "value frequencies are corpus-global, and recomputing them "
+            "per micro-batch would break the O(batch) contract — filter "
+            "junk values upstream or use resolve_all (which applies the "
+            "filter); silently ignoring the config would let junk values "
+            "chain exactly the false merges it exists to prevent"
+        )
     compiled = model if not isinstance(model, Model) else compile_model(model)
     fingerprint = hashlib.sha256(
         json.dumps(compiled.model.spec, sort_keys=True,
@@ -357,6 +476,12 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
     ).hexdigest()
     _check_stream_meta(output_root, n_buckets, clusters_mode, fingerprint)
     store = SnapshotStore(output_root)
+    marker_for_bind = "clusters" if clusters_mode == "full" else "batch_done"
+    _bind_checkpoint_lineage(
+        output_root, checkpoint_dir,
+        has_batches=bool(store.snapshots(marker_for_bind)),
+        rebind=rebind_checkpoint,
+    )
     nb = F.lit(n_buckets)
 
     def bucket_of(col: str) -> F.Column:
@@ -370,14 +495,19 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             .distinct().collect()
         ]
 
-    def rebuild_records(ids: DataFrame, parsed_batch, want_metrics=True):
+    def rebuild_records(ids: DataFrame, want_metrics=True):
         """Match material for exactly `ids`: bucket-pruned values scan +
         semi-join, then the batch-path record aggregation — O(|ids|'
         values), never O(corpus). Returns (records, scan-row count):
         the pruned scan is checkpointed so the metric and the join share
-        ONE parquet read."""
-        vals = _read_bucket_dirs(spark, store, "values", "rb",
-                                 touched_buckets(ids, "record_id"))
+        ONE parquet read. attr_name_fields (the weight-tier exists-gate
+        input) comes from the COMMITTED attrfields table, never the
+        current batch's turns: an old pair partner's field presence
+        lives in the batch that ingested it, and rebuilding it from the
+        current batch would make must_not(exists) gates pass vacuously —
+        spurious edges the batch path rejects."""
+        bks = touched_buckets(ids, "record_id")
+        vals = _read_bucket_dirs(spark, store, "values", "rb", bks)
         if vals is None:  # ids was empty (e.g. zero candidate pairs)
             return None, None
         scan_rows = None
@@ -385,7 +515,20 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             vals = vals.localCheckpoint()
             scan_rows = vals.count()
         vals = vals.join(ids, "record_id", "left_semi")
-        return build_records(vals, compiled, parsed_batch), scan_rows
+        recs = build_records(vals, compiled, None).drop("attr_name_fields")
+        empty_af = F.array().cast("array<string>")
+        af = _read_bucket_dirs(spark, store, "attrfields", "rb", bks)
+        if af is None:
+            return recs.withColumn("attr_name_fields", empty_af), scan_rows
+        agg = (
+            af.join(ids, "record_id", "left_semi")
+            .groupBy("record_id")
+            .agg(F.sort_array(F.collect_set("field")).alias("attr_name_fields"))
+        )
+        recs = recs.join(agg, "record_id", "left").withColumn(
+            "attr_name_fields", F.coalesce("attr_name_fields", empty_af)
+        )
+        return recs, scan_rows
 
     def assign_current_for(ids: DataFrame):
         """CURRENT cluster id per requested record (delta mode):
@@ -502,11 +645,22 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             return  # replayed batch after restart: fully committed
         batch_turns = batch_turns.localCheckpoint()
         parsed_batch = parse_turns(batch_turns)
+        # materialize ONCE: the commit executes the full parse/mapping
+        # plan, and new_ids below would otherwise re-execute it
         values_new = build_values(spark, batch_turns, compiled).withColumn(
             "rb", bucket_of("record_id")
-        )
+        ).localCheckpoint()
         _commit_once(store, values_new, "values", "values", fp,
                      partition_by=["rb"])
+        # per-record attribute-named-field presence, committed at ingest
+        # (NOT pruned to valued records: a spanning conversation can
+        # show the field in one batch and produce values in a later one)
+        # — rebuild_records reads this table for weight-tier gates
+        af_new = attr_name_field_presence(parsed_batch, compiled).select(
+            "record_id", F.explode("attr_name_fields").alias("field")
+        )
+        _commit_once(store, af_new.withColumn("rb", bucket_of("record_id")),
+                     "attrfields", "attrfields", fp, partition_by=["rb"])
         # only records that PRODUCE values enter the corpus — batch
         # parity: resolve_all's clusters cover build_records(values)
         # output, and a turns-only conversation with no extractable
@@ -515,9 +669,8 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         _commit_once(store, new_ids, "record_ids", "record_ids", fp)
 
         # records for the NEW ids only (old+new values merged for a
-        # conversation spanning batches; attr_name_fields presence for
-        # weighted models is taken from the current batch's turns)
-        records_new, values_scan_rows = rebuild_records(new_ids, parsed_batch)
+        # conversation spanning batches)
+        records_new, values_scan_rows = rebuild_records(new_ids)
         if records_new is None:  # batch produced no valued records
             keys_new = spark.createDataFrame([], _KEYS_SCHEMA)
         else:
@@ -550,7 +703,12 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         block_rows = keys_scan.join(
             F.broadcast(touched), ["resolver", "ckey"], "left_semi"
         ).dropDuplicates(["resolver", "ckey", "record_id"])
-        cand, _ = candidate_pairs(block_rows, max_block_size=config.max_block_size)
+        cand, dropped = candidate_pairs(block_rows,
+                                        max_block_size=config.max_block_size)
+        # over-cap blocks are a PERMANENT recall boundary for every
+        # record carrying that key — observable per batch, same as the
+        # batch path's blocking.dropped_blocks metric
+        dropped_blocks = dropped.count() if metrics else None
         # keep only pairs with ≥1 new side (old×old pairs already exist)
         cand = cand.join(
             new_ids.withColumnRenamed("record_id", "id_l"), "id_l", "left_semi"
@@ -569,8 +727,7 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             .distinct()
         )
         old_pair_ids = pair_ids.join(new_ids, "record_id", "left_anti")
-        records_old, _ = rebuild_records(old_pair_ids, parsed_batch,
-                                         want_metrics=False)
+        records_old, _ = rebuild_records(old_pair_ids, want_metrics=False)
         parts = [r for r in (records_new, records_old) if r is not None]
         if not parts:
             edges_new = spark.createDataFrame([], "id_l string, id_r string")
@@ -578,7 +735,10 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             records_pairs = parts[0] if len(parts) == 1 else (
                 parts[0].unionByName(parts[1]))
             pairs = verify_pairs(cand, compiled, records_pairs)
-            edges_new = gate_edges(pairs, compiled).select("id_l", "id_r")
+            # materialize: the commit executes the verify/gate plan and
+            # delta mode's touched-set union would re-execute it
+            edges_new = gate_edges(pairs, compiled).select(
+                "id_l", "id_r").localCheckpoint()
         _commit_once(store, edges_new, "edges", "edges", fp)
 
         if clusters_mode == "delta":
@@ -595,9 +755,11 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
                 [(
                     int(batch_id), batch_rows,
                     int(values_scan_rows or 0), int(keys_scan_rows or 0),
+                    int(dropped_blocks or 0),
                 )],
                 "batch_id long, batch_turn_rows long,"
-                " values_scan_rows long, keys_scan_rows long",
+                " values_scan_rows long, keys_scan_rows long,"
+                " dropped_blocks long",
             )
             _commit_once(store, m, "stream_metrics", "stream_metrics", fp)
         # completion marker LAST: full mode's corpus snapshot, or delta
@@ -620,7 +782,8 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         # bytes, never rows, so a crash mid-maintenance replays as a
         # no-op batch and a later trigger restores the invariant.
         if maintain_every and (batch_id + 1) % maintain_every == 0:
-            tables = [("values", ["rb"]), ("blkeys", ["kb"]),
+            tables = [("values", ["rb"]), ("attrfields", ["rb"]),
+                      ("blkeys", ["kb"]),
                       ("edges", None), ("record_ids", None),
                       ("stream_metrics", None)]
             if clusters_mode == "delta":
