@@ -218,6 +218,12 @@ QUERY_SUBSET = [
     "text_quality",
     "repetition_metrics",
     "sessionize",
+    # round-3 session-6 additions
+    "ngram_jaccard",
+    "pii_scrub",
+    "vocab_stats",
+    "pack_sequences",
+    "corpus_curation",
 ]
 
 
