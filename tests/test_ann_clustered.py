@@ -105,3 +105,28 @@ def test_multiprobe_expands_probe_set_and_recall(corpus, brute):
     r0, r1 = recall(0), recall(1)
     assert r1 >= r0
     assert r1 >= 0.9, f"multiprobe recall@10 = {r1} (exact-bucket: {r0})"
+
+
+def test_plane_expr_and_udf_bit_identical(spark):
+    """The pure-expression bucket form (lsh_bucket_expr) is the parity
+    REFERENCE for the Arrow-batched matmul UDF that replaced it in the
+    hot path (PLANS.md rule 11): same md5-derived planes, same sign →
+    bit packing, bit-identical buckets."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from zentity_spark.extras import ann_lsh_buckets, lsh_bucket_expr
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)], 0) for i in range(64)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    via_udf = {r["vec_id"]: r["bucket"]
+               for r in ann_lsh_buckets(df, dim=16, n_planes=8).collect()}
+    via_expr = {r["vec_id"]: r["bucket"]
+                for r in df.select(
+                    "vec_id",
+                    lsh_bucket_expr(F.col("embedding"), 16, 8).alias("bucket"),
+                ).collect()}
+    assert via_udf == via_expr

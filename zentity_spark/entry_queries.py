@@ -24,8 +24,6 @@ from zentity_spark.blocking import blocking_keys, candidate_pairs
 from zentity_spark.scoring import composite_score_col
 from zentity_spark.matchers import jaro_winkler_udf
 
-SEP = "\x1f"
-
 # ----------------------------------------------------------------------
 # Shared derivations
 
@@ -51,16 +49,23 @@ ER_MODEL = {
 }
 
 # DuckDB CTE mirroring transcripts_from_events()
-SQL_TRANSCRIPTS = """
+def _sql_transcripts(where: str = "") -> str:
+    """The ONE transcript-derivation CTE (events → turns): every
+    seeded/ER oracle builds on this so the derivation cannot drift
+    between the base and filtered (sparse) variants."""
+    return f"""
 t AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id,
          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
          event_type AS role,
          event_type || '=' || regexp_extract(props, '"k": (\\d+)', 1) AS text,
          ts
-  FROM events
+  FROM events{' ' + where if where else ''}
 )
 """
+
+
+SQL_TRANSCRIPTS = _sql_transcripts()
 
 # per-conversation distinct attribute values (k per event_type)
 SQL_CONV_VALUES = SQL_TRANSCRIPTS + """,
@@ -74,8 +79,14 @@ v AS (
 """
 
 
-def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def transcripts_from_events(spark: SparkSession, sf_dir: str,
+                            where=None) -> DataFrame:
+    """events → turns, the Spark twin of _sql_transcripts; `where` is
+    the optional pre-filter (the sparse variant passes its predicate
+    here so the derivation itself exists exactly once)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if where is not None:
+        ev = ev.where(where)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         F.col("user_id").cast("string").alias("conv_id"),
@@ -721,16 +732,7 @@ FROM best GROUP BY l_orderkey ORDER BY l_orderkey
 # one hop), while the sparse graph has 5-hop BFS structure — a real
 # traversal test.
 
-SQL_TRANSCRIPTS_SPARSE = """
-t AS (
-  SELECT CAST(user_id AS VARCHAR) AS conv_id,
-         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
-         event_type AS role,
-         event_type || '=' || regexp_extract(props, '"k": (\\d+)', 1) AS text,
-         ts
-  FROM events WHERE event_id % 11 = 0
-)
-"""
+SQL_TRANSCRIPTS_SPARSE = _sql_transcripts("WHERE event_id % 11 = 0")
 
 # per-conversation distinct error-attribute values in the sparse graph
 SQL_SPARSE_ERROR_VALUES = SQL_TRANSCRIPTS_SPARSE + """,
@@ -742,20 +744,8 @@ v AS (
 
 
 def transcripts_from_events_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
-        F.col("event_id") % 11 == 0
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        F.col("user_id").cast("string").alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
-        F.col("event_type").alias("role"),
-        F.concat(
-            "event_type", F.lit("="), F.regexp_extract("props", '"k": (\\d+)', 1)
-        ).alias("text"),
-        F.lit(None).cast("string").alias("tool"),
-        "ts",
-    )
+    return transcripts_from_events(spark, sf_dir,
+                                   where=F.col("event_id") % 11 == 0)
 
 
 # single-attribute model for seeded traversal: accumulated-value hop
@@ -845,9 +835,13 @@ def q_seeded_scope_include(spark, sf_dir):
     )
 
 
+# the < 100 bound mirrors _INCLUDE_VALUES' range(100): the engine's
+# include list is finite, so the oracle predicate must carry the same
+# bound or a future generator emitting k >= 100 silently desyncs them
 SQL_SEEDED_SCOPE_INCLUDE = _sql_seeded_walk(
     graph_filter="""(SELECT conv_id, value FROM v WHERE conv_id IN
-      (SELECT conv_id FROM v WHERE CAST(value AS INT) % 3 <> 0)) x"""
+      (SELECT conv_id FROM v
+       WHERE CAST(value AS INT) % 3 <> 0 AND CAST(value AS INT) < 100)) x"""
 )
 
 
@@ -1568,17 +1562,11 @@ def q_lsh_buckets(spark, sf_dir):
 
 
 def _sql_lsh_buckets(n_planes: int = 6, dim: int = 64) -> str:
-    import hashlib
-
-    plane_terms = []
-    for p in range(n_planes):
-        dot = " + ".join(
-            f"CAST(embedding[{j+1}] AS DOUBLE) * ({int(hashlib.md5(f'{p}_{j}'.encode()).hexdigest()[:4], 16) % 2001 - 1000}.0)"
-            for j in range(dim)
-        )
-        plane_terms.append(f"CASE WHEN ({dot}) > 0 THEN {2**p} ELSE 0 END")
-    bucket = " + ".join(plane_terms)
-    return f"SELECT vec_id, label, CAST({bucket} AS BIGINT) AS bucket FROM embeddings ORDER BY vec_id"
+    # single-table LSH = band 0 of the banded scheme (plane_offset 0) —
+    # ONE plane-dot generator, no second copy to drift
+    bucket = _sql_bucket_expr(n_planes, dim, 0)
+    return (f"SELECT vec_id, label, CAST({bucket} AS BIGINT) AS bucket "
+            "FROM embeddings ORDER BY vec_id")
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -1718,9 +1706,9 @@ SQL_TEXT_QUALITY = f"""
 WITH w AS (SELECT doc_id, text, {_SQL_WORDS} AS words FROM documents)
 SELECT doc_id,
        CAST(len(words) AS BIGINT) AS n_tokens,
-       round(CAST(list_sum(list_transform(words, x -> strlen(x))) AS DOUBLE) / len(words), 6) AS mean_token_len,
-       round(CAST(strlen(text) - strlen(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-             / greatest(strlen(text), 1), 6) AS punct_ratio,
+       round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words), 6) AS mean_token_len,
+       round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS punct_ratio,
        round(CAST(list_sum(list_transform(words, x -> CASE WHEN x IN
              ('the','a','of','and','to','in','is','it','that','for') THEN 1 ELSE 0 END)) AS DOUBLE)
              / len(words), 6) AS stopword_ratio
@@ -1783,11 +1771,11 @@ WITH ln AS (
   SELECT doc_id,
          sum(c) AS n_lines,
          count(*) AS n_distinct_lines,
-         sum(c * strlen(line)) AS line_chars,
-         sum(CASE WHEN c > 1 THEN c * strlen(line) ELSE 0 END) AS dup_line_chars
+         sum(c * length(line)) AS line_chars,
+         sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_line_chars
   FROM per_line GROUP BY doc_id
 ), w AS (
-  SELECT doc_id, {_SQL_WORDS} AS words, strlen({_SQL_CANON}) AS canon_chars
+  SELECT doc_id, {_SQL_WORDS} AS words, length({_SQL_CANON}) AS canon_chars
   FROM documents
 ), bg AS (
   SELECT doc_id, b
@@ -1799,7 +1787,7 @@ WITH ln AS (
   SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
 ), bg_agg AS (
   SELECT doc_id,
-         max(CASE WHEN c > 1 THEN c * strlen(b) ELSE 0 END) AS top_bigram_chars
+         max(CASE WHEN c > 1 THEN c * length(b) ELSE 0 END) AS top_bigram_chars
   FROM per_bg GROUP BY doc_id
 )
 SELECT d.doc_id,
@@ -1882,8 +1870,8 @@ WITH RECURSIVE corpus AS (
 cw AS (SELECT doc_id, text, {_SQL_WORDS} AS words FROM corpus),
 qual AS (
   SELECT doc_id, len(words) AS n_tokens,
-         CAST(strlen(text) - strlen(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-           / greatest(strlen(text), 1) AS punct_ratio
+         round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1), 6) AS punct_ratio
   FROM cw
 ),
 ded AS (
@@ -1936,7 +1924,7 @@ SQL_TOKEN_COUNTS = """
 SELECT doc_id,
        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
        CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> ''))
-            + strlen(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS subword_tokens
+            + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS subword_tokens
 FROM documents ORDER BY doc_id
 """
 
@@ -1953,7 +1941,7 @@ SQL_FINGERPRINTS = f"""
 WITH c AS (SELECT doc_id, {_SQL_CANON} AS txt FROM documents),
 g AS (
   SELECT doc_id,
-         list_transform(generate_series(1, greatest(strlen(txt) - 7, 1)),
+         list_transform(generate_series(1, greatest(length(txt) - 7, 1)),
                         i -> md5(substr(txt, i, 8))) AS grams
   FROM c
 )

@@ -147,7 +147,12 @@ def near_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
                    k: int = 3, bands: int = 8, jaccard_threshold: float = 0.5) -> DataFrame:
     """MinHash-LSH candidate pairs (shared band signature) verified with
     exact shingle-set Jaccard ≥ threshold."""
-    sig = minhash_signatures(docs, text_col, id_col, k, bands)
+    # materialize once: sig feeds both sides of its self-join (ReuseExchange
+    # can't help — the sides shuffle on different roles) and sets feeds
+    # both verify joins; without the checkpoints the tokenize → shingle →
+    # hash pipeline runs once per branch (same rule as simhash/ngram)
+    sig = minhash_signatures(docs, text_col, id_col, k, bands).localCheckpoint(
+        eager=False)
     l = sig.alias("l")
     r = sig.alias("r")
     cand = (
@@ -165,7 +170,7 @@ def near_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     sets = docs.select(
         F.col(id_col).alias("doc_id"),
         F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     return (
         cand.join(sets.withColumnRenamed("doc_id", "id_l").withColumnRenamed("sh", "sh_l"), "id_l")
         .join(sets.withColumnRenamed("doc_id", "id_r").withColumnRenamed("sh", "sh_r"), "id_r")
@@ -223,12 +228,16 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .agg(F.array_sort(F.collect_list(F.struct("df_cnt", "gram"))).alias("ordered"))
     )
     sz = F.size("ordered")
-    # prefix length |x| - ceil(t*|x|) + 1; the 1e-9 nudge makes IEEE
-    # rounding of t*|x| err toward a LARGER prefix (extra candidates are
-    # merely re-verified; a short prefix would LOSE pairs)
+    # prefix length |x| - ceil(t*|x|) + 1; the nudge makes IEEE rounding
+    # of t*|x| err toward a LARGER prefix (extra candidates are merely
+    # re-verified; a short prefix would LOSE pairs). It must be RELATIVE
+    # (plus an absolute floor): t*|x| beyond ~9e6 has ulp > 1e-9, so a
+    # fixed absolute nudge stops covering rounding error exactly on the
+    # giant documents where prefix loss matters most
+    tsz = F.lit(float(threshold)) * sz.cast("double")
     p = (
         sz
-        - F.ceil(F.lit(float(threshold)) * sz.cast("double") - F.lit(1e-9)).cast("int")
+        - F.ceil(tsz - (F.lit(1e-9) + tsz * F.lit(1e-12))).cast("int")
         + 1
     )
     # checkpoint the two tables every downstream branch re-reads: the
@@ -323,7 +332,8 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", n_bits: int = 32,
                            bands: int = 4, max_hamming: int = 3,
                            max_bucket_size: int | None = 100_000,
-                           salt_threshold: int | None = 2000) -> DataFrame:
+                           salt_threshold: int | None = 2000,
+                           with_metrics: bool = False):
     """SimHash near-duplicate pairs: banded hamming LSH candidates
     verified with the exact hamming distance → (id_l, id_r, hamming).
 
@@ -339,8 +349,10 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     The band-slice self-join goes through the SAME capped + salted
     machinery as entity blocking (blocking.candidate_pairs): degenerate
     slices (e.g. empty-text fingerprint 0) are dropped deterministically
-    and reported, hot-but-legitimate slices are salted so no task owns a
-    whole bucket's pair quadratic. Candidates shuffle only
+    (with_metrics=True returns the dropped-blocks frame alongside the
+    pairs — an over-cap bucket is a permanent recall boundary that
+    belongs in lineage metrics), hot-but-legitimate slices are salted
+    so no task owns a whole bucket's pair quadratic. Candidates shuffle only
     (band, slice, id) rows; fingerprints rejoin by id for the verify,
     which is two longs + one bit_count(xor) per pair — there is no
     text or token movement after fingerprinting.
@@ -376,11 +388,11 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
         F.col("bk.slice").cast("string").alias("ckey"),
         F.col("doc_id").alias("record_id"),
     )
-    cand, _dropped = _candidate_pairs(
+    cand, dropped = _candidate_pairs(
         blocks, max_block_size=max_bucket_size, salt_threshold=salt_threshold
     )
     pairs = cand.select("id_l", "id_r").dropDuplicates(["id_l", "id_r"])
-    return (
+    out = (
         pairs
         .join(fps.select(F.col("doc_id").alias("id_l"), F.col("fp").alias("fp_l")), "id_l")
         .join(fps.select(F.col("doc_id").alias("id_r"), F.col("fp").alias("fp_r")), "id_r")
@@ -390,6 +402,7 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
         .where(F.col("hamming") <= max_hamming)
         .select("id_l", "id_r", "hamming")
     )
+    return (out, dropped) if with_metrics else out
 
 
 # ----------------------------------------------------------------------
@@ -552,7 +565,8 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dim: int = 64,
                              threshold: float = 0.9, bands: int = 8,
                              planes_per_band: int = 8,
                              max_bucket_size: int | None = 100_000,
-                             salt_threshold: int | None = 2000) -> DataFrame:
+                             salt_threshold: int | None = 2000,
+                             with_metrics: bool = False):
     """Embedding-cosine near-duplicate pairs at scale: banded
     multi-table hyperplane LSH candidates verified with exact cosine ≥
     threshold.
@@ -564,9 +578,10 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dim: int = 64,
     - the band-bucket self-join runs through the SAME capped + salted
       machinery as entity blocking (blocking.candidate_pairs with
       band as the resolver and bucket as the key): degenerate buckets
-      (e.g. all-zero embeddings) are dropped deterministically and
-      REPORTED, hot-but-legitimate buckets are salted so no task owns a
-      whole bucket's pair quadratic;
+      (e.g. all-zero embeddings) are dropped deterministically
+      (with_metrics=True returns the dropped-blocks frame alongside
+      the pairs), hot-but-legitimate buckets are salted so no task
+      owns a whole bucket's pair quadratic;
     - verification joins the vectors back by id, so the candidate
       shuffle moves (band, bucket, id) rows only, never embeddings.
     """
@@ -577,15 +592,17 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dim: int = 64,
         F.col("bucket").alias("ckey"),
         F.col("vec_id").alias("record_id"),
     )
-    cand, _dropped = _candidate_pairs(
+    cand, dropped = _candidate_pairs(
         blocks, max_block_size=max_bucket_size, salt_threshold=salt_threshold
     )
     pairs = cand.select("id_l", "id_r").dropDuplicates(["id_l", "id_r"])
-    # norms once per VECTOR (n aggregates), not per pair side (2·|pairs|)
+    # norms once per VECTOR (n aggregates), not per pair side (2·|pairs|);
+    # checkpointed because both verify joins read it (different keys, so
+    # exchange reuse can't dedupe the norm computation)
     vecs = embeddings.select(
         "vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm")
-    )
-    return (
+    ).localCheckpoint(eager=False)
+    out = (
         pairs.join(
             vecs.select(F.col("vec_id").alias("id_l"), F.col("embedding").alias("emb_l"),
                         F.col("nrm").alias("nrm_l")), "id_l")
@@ -601,6 +618,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dim: int = 64,
         .where(F.col("cosine") >= threshold)
         .select("id_l", "id_r", "cosine")
     )
+    return (out, dropped) if with_metrics else out
 
 
 def ann_topk_bucketed(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
@@ -620,7 +638,10 @@ def ann_topk_bucketed(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     sign is the most likely way a true neighbor escapes) — probe set
     grows ≤ (r+1)×, a recall/scan knob for corpora with weak cluster
     structure; prefer more bands first (cheaper per unit recall)."""
-    b = banded_lsh_buckets(embeddings, dim, bands, planes_per_band)
+    # materialize once: b feeds both the query-bucket lookup and the
+    # probe join — without this the corpus-wide Arrow matmul runs twice
+    b = banded_lsh_buckets(embeddings, dim, bands,
+                           planes_per_band).localCheckpoint(eager=False)
     qb = b.where(F.col("vec_id") == query_vec_id).select("band", "bucket")
     if multiprobe >= 1:
         variants = F.array(
@@ -1341,14 +1362,17 @@ def sample_frames(media: DataFrame, n_samples: int = 8,
                         with wave.open(io.BytesIO(p)) as wf:
                             nf = wf.getnframes()
                             sw = wf.getsampwidth()
-                            nch = wf.getnchannels()
-                            raw = wf.readframes(nf)
                             idxs = [(k * nf) // n_samples
                                     for k in range(n_samples)] if nf else []
                             vals = []
+                            # seek per sampled frame — decoding the whole
+                            # raster to pick n samples would hold a 2nd
+                            # payload-sized copy per row (an hour of PCM
+                            # is ~700 MB; 8 single-frame reads are bytes)
                             for fi in idxs:
-                                b0 = fi * sw * nch
-                                v = int.from_bytes(raw[b0:b0 + sw], "little",
+                                wf.setpos(fi)
+                                raw = wf.readframes(1)
+                                v = int.from_bytes(raw[:sw], "little",
                                                    signed=(sw > 1))
                                 # 8-bit PCM is unsigned (silence 0x80)
                                 vals.append((v - 128) / 128.0 if sw == 1
