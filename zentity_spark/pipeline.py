@@ -150,17 +150,50 @@ def resolve_all(
 def _entity_closure(spark, values, records, edges, clusters, compiled, config) -> DataFrame:
     """Iterate: re-block clusters as super-records until no merges."""
     edges = edges.select("id_l", "id_r")
+    # every round re-reads values (and round 0's lineage reaches back to
+    # the raw turns) — materialize once, not once per round
+    values = values.localCheckpoint()
     for _ in range(config.closure_max_rounds):
         clusters = clusters.localCheckpoint()
         n_clusters = clusters.select("cluster_id").distinct().count()
         if n_clusters <= 1:
             break
 
-        # cluster-level wide records: union of member value material.
-        cvalues = values.join(clusters, "record_id").drop("record_id").withColumnRenamed(
-            "cluster_id", "record_id"
+        # cluster-level wide records: the union of member value material
+        # ACROSS sources — build_records groups by (record_id, source),
+        # so the member docs' sources must collapse or a cluster spanning
+        # indices gets one PARTIAL record per index and a resolver whose
+        # attributes are spread across indices never sees the
+        # accumulated set (the exact Job.java:1096-1113 semantics this
+        # loop exists for)
+        cvalues = (
+            values.join(clusters, "record_id").drop("record_id")
+            .withColumnRenamed("cluster_id", "record_id")
+            .withColumn("source", F.lit("__cluster__"))
         )
         crecords = build_records(cvalues, compiled, parsed=None)
+        if not compiled.weights_all_equal:
+            # weight-tier exists-gates need the cluster's field presence:
+            # the union of member records' attr_name_fields. parsed=None
+            # above leaves them empty, which would make must_not(exists)
+            # pass vacuously and re-admit edges round 0 suppressed.
+            cfields = (
+                records.select("record_id",
+                               F.explode("attr_name_fields").alias("f"))
+                .join(clusters, "record_id")
+                .groupBy("cluster_id")
+                .agg(F.sort_array(F.collect_set("f")).alias("_af"))
+                .withColumnRenamed("cluster_id", "record_id")
+            )
+            crecords = (
+                crecords.drop("attr_name_fields")
+                .join(cfields, "record_id", "left")
+                .withColumn(
+                    "attr_name_fields",
+                    F.coalesce(F.col("_af"), F.array().cast("array<string>")),
+                )
+                .drop("_af")
+            )
         cblocks = blocking_keys(
             crecords, compiled, max_keys_per_record=config.max_keys_per_record
         )
@@ -198,6 +231,10 @@ def _fingerprint(model_spec: dict, config: ResolutionConfig, input_token: str) -
                 "max_block_size": config.max_block_size,
                 "max_keys_per_record": config.max_keys_per_record,
                 "entity_closure": config.entity_closure,
+                # iteration caps change the RESULT (a run capped short
+                # of fixpoint must not be resumed as if it converged)
+                "closure_max_rounds": config.closure_max_rounds,
+                "cc_max_iterations": config.cc_max_iterations,
                 "max_value_frequency": config.max_value_frequency,
             },
             "input": input_token,
@@ -228,10 +265,11 @@ def resolve_all_checkpointed(
 
     config = config or ResolutionConfig()
     compiled = model if isinstance(model, CompiledModel) else compile_model(model)
-    model_spec = {
-        "attributes": sorted(compiled.attr_types.items()),
-        "resolvers": sorted((r, a) for r, a in compiled.resolver_attrs.items()),
-    }
+    # the FULL canonical spec: matcher clauses, params (fuzziness!), and
+    # resolver weights all change the result, so they must change the
+    # fingerprint — a derived summary (attr types + resolver attrs)
+    # would serve stale snapshots after a matcher edit
+    model_spec = compiled.model.spec
     fp = _fingerprint(model_spec, config, input_token)
     run_id = run_id or _uuid.uuid4().hex[:8]
     store = SnapshotStore(output_root)

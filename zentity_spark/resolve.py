@@ -278,8 +278,31 @@ def _input_key_rows(state: _EntityState, compiled: CompiledModel):
     `orig` is the input value's canonical serialization — the envelope's
     input_value (the reference encodes it base64 into the named filter,
     Query.java:142-166)."""
-    eq_rows, date_rows, fuzz_rows = [], [], []
+    eq_rows, date_rows, fuzz_rows, jw_rows = [], [], [], []
     kinds_by_attr = {a: compiled.kinds_for_attribute(a) for a in compiled.attr_types}
+
+    def _lev_meta(attribute):
+        """Mirror of pairs.attribute_match_expr's threshold merge: AUTO
+        if any field spec says so, widened by the max declared numeric
+        fuzziness."""
+        specs = [
+            fs.spec for fs in compiled.field_specs
+            if fs.attribute == attribute and fs.spec.kind in ("fuzzy", "levenshtein")
+        ]
+        thresholds = {s.threshold for s in specs}
+        use_auto = "AUTO" in thresholds or None in thresholds
+        max_k = max(
+            (int(t) for t in thresholds if t not in ("AUTO", None)), default=None
+        )
+        return use_auto, max_k
+
+    def _jw_thr(attribute):
+        specs = [
+            fs.spec for fs in compiled.field_specs
+            if fs.attribute == attribute and fs.spec.kind == "jaro_winkler"
+        ]
+        return min(float(s.threshold) for s in specs)
+
     for attribute, values in state.values.items():
         kinds = kinds_by_attr.get(attribute, set())
         for v in sorted(values):
@@ -294,20 +317,25 @@ def _input_key_rows(state: _EntityState, compiled: CompiledModel):
                 eq_rows.append(
                     (attribute, "soundex", "sx:" + spark_soundex_py(v), v)
                 )
-            if kinds & {"fuzzy", "levenshtein", "jaro_winkler"}:
-                fuzz_rows.append((attribute, strip_punct_py(v), v))
+            if kinds & {"fuzzy", "levenshtein"}:
+                use_auto, max_k = _lev_meta(attribute)
+                fuzz_rows.append(
+                    (attribute, strip_punct_py(v), v, use_auto, max_k)
+                )
+            if "jaro_winkler" in kinds:
+                jw_rows.append((attribute, v, _jw_thr(attribute)))
         if "date_window" in kinds:
             w = compiled.date_window_for(attribute)
             for orig, ts in sorted(state.tss.get(attribute, {}).items()):
                 date_rows.append((attribute, float(ts), float(w), orig))
-    return eq_rows, date_rows, fuzz_rows
+    return eq_rows, date_rows, fuzz_rows, jw_rows
 
 
 def _match_records(spark, values_df, state: _EntityState, compiled: CompiledModel):
     """Distributed matching of the accumulated entity values against the
     values table → (record_id, source, attribute, field, matcher, raw,
     input_val). One broadcast join per comparator family."""
-    eq_rows, date_rows, fuzz_rows = _input_key_rows(state, compiled)
+    eq_rows, date_rows, fuzz_rows, jw_rows = _input_key_rows(state, compiled)
     parts = []
     if eq_rows:
         rows = [r for r in eq_rows if r[2] is not None]
@@ -342,17 +370,49 @@ def _match_records(spark, values_df, state: _EntityState, compiled: CompiledMode
             )
         )
     if fuzz_rows:
-        fk = spark.createDataFrame(fuzz_rows, "k_attr string, fnorm string, orig string")
+        fk = spark.createDataFrame(
+            fuzz_rows,
+            "k_attr string, fnorm string, orig string, use_auto boolean,"
+            " max_k int",
+        )
         v = values_df.where(F.col("kind").isin("fuzzy", "levenshtein"))
         norm = F.regexp_replace("raw", "[^a-zA-Z0-9]", "")
         from zentity_spark.matchers import auto_fuzziness_col
 
+        # batch parity (pairs.attribute_match_expr): the bound is the
+        # DECLARED fuzziness when numeric, AUTO when declared AUTO, and
+        # the wider of the two when the attribute's fields declare both
+        # — the previous always-AUTO form rejected matches the batch
+        # path links (e.g. fuzziness=2 on a 4-char value)
+        auto_b = auto_fuzziness_col(norm, F.col("fnorm"))
+        bound = (
+            F.when(F.col("use_auto") & F.col("max_k").isNotNull(),
+                   F.greatest(auto_b, F.col("max_k")))
+            .when(F.col("use_auto"), auto_b)
+            .otherwise(F.col("max_k"))
+        )
         parts.append(
             v.join(F.broadcast(fk), v.attribute == fk.k_attr, "inner")
-            .where(F.levenshtein(norm, F.col("fnorm")) <= auto_fuzziness_col(norm, F.col("fnorm")))
+            .where(F.levenshtein(norm, F.col("fnorm")) <= bound)
             .select(
                 "record_id", "source", "attribute", "field", "matcher", "raw",
                 F.col("orig").alias("input_val"),
+            )
+        )
+    if jw_rows:
+        from zentity_spark.matchers import jaro_winkler_udf
+
+        jk = spark.createDataFrame(
+            jw_rows, "k_attr string, jorig string, jthr double"
+        )
+        v = values_df.where(F.col("kind") == "jaro_winkler")
+        jw = jaro_winkler_udf()
+        parts.append(
+            v.join(F.broadcast(jk), v.attribute == jk.k_attr, "inner")
+            .where(jw(F.col("raw"), F.col("jorig")) >= F.col("jthr"))
+            .select(
+                "record_id", "source", "attribute", "field", "matcher", "raw",
+                F.col("jorig").alias("input_val"),
             )
         )
     if not parts:
@@ -462,7 +522,11 @@ def resolve(
         for a, vs in sorted(scope_incl.items()):
             ids_a = scope_record_ids({a: vs})
             if ids_a is None:
-                continue
+                # the included attribute's filter clause cannot be
+                # derived (no matcher-bearing field) → NO document can
+                # satisfy it; dropping the constraint instead would turn
+                # a must-match filter into match-everything
+                ids_a = spark.createDataFrame([], "record_id string")
             incl_ids = ids_a if incl_ids is None else incl_ids.join(
                 ids_a, "record_id", "left_semi"
             )
@@ -502,6 +566,10 @@ def resolve(
     fetched: dict[str, set[str]] = {}
     hits: list[Hit] = []
     indexes = compiled.indexes()
+    # the doc universe for seed-id validation: every parsed record,
+    # including ones that produce no attribute values (an ES ids query
+    # matches existence, not extractability)
+    known_ids = parsed.select("record_id").distinct().localCheckpoint(eager=False)
 
     for hop in range(config.max_hops + 1):
         hop_new = False
@@ -600,22 +668,36 @@ def resolve(
             else:
                 cand = per_rec.where(pred).select("record_id", "detail")
 
-            # seed ids (hop 0)
+            # seed ids (hop 0) — validated against the parsed corpus:
+            # an ES ids query returns only EXISTING docs, so a
+            # nonexistent seed id must not fabricate a hit
             if seeds:
                 seed_ids = [f"{index}/{i}" for i in seeds]
                 seed_df = spark.createDataFrame(
                     [(s,) for s in seed_ids], "record_id string"
-                ).withColumn(
+                ).join(known_ids, "record_id", "left_semi").withColumn(
                     "detail",
                     F.array().cast(
                         "array<struct<attribute:string,field:string,matcher:string,raw:string,input_val:string>>"
                     ),
                 )
-                cand = (
-                    cand.unionByName(seed_df).dropDuplicates(["record_id"])
-                    if per_rec is not None
-                    else seed_df
-                )
+                if per_rec is not None:
+                    # a doc both seeded AND attribute-matched must keep
+                    # the matched row (its detail feeds _explanation) —
+                    # a bare dropDuplicates keeps whichever partition
+                    # arrives first
+                    from pyspark.sql.window import Window as _W
+
+                    _w = _W.partitionBy("record_id").orderBy(
+                        F.size("detail").desc()
+                    )
+                    cand = (
+                        cand.unionByName(seed_df)
+                        .withColumn("_rn", F.row_number().over(_w))
+                        .where(F.col("_rn") == 1).drop("_rn")
+                    )
+                else:
+                    cand = seed_df
 
             # exclusions: already-fetched docs + scope filters
             got = fetched.setdefault(index, set())

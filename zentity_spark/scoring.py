@@ -279,9 +279,15 @@ def composite_score_col(scores_array: Column) -> Column:
     # raises on 0/0 rather than producing NaN.
     has_one = F.exists(vals, lambda s: s == 1.0)
     has_zero = F.exists(vals, lambda s: s == 0.0)
+    # denom can ALSO hit 0.0 by double underflow on long mid-range
+    # score lists (0.5^~2000) with no exact 1.0/0.0 present — under
+    # ANSI that 0/0 raises instead of NaN. Match the reference's NaN →
+    # 0.5 convention; genuinely long lists should use the log-space
+    # form (composite_score_log_space).
     return (
         F.when(F.size(vals) == 0, F.lit(None).cast("double"))
         .when(has_one & has_zero, F.lit(0.5))
+        .when(prod + prod_inv == 0.0, F.lit(0.5))
         .otherwise(prod / (prod + prod_inv))
     )
 
