@@ -108,3 +108,73 @@ def test_curate_corpus_composition(spark):
     assert got[3]["bucket"] == 3 and got[3]["bin_idx"] == 0
     assert got[3]["pred_lang"] == "en"      # 200x 'the'
     assert got[0]["n_tokens"] == 24
+
+
+def test_decontaminate_edges(spark):
+    from pyspark.sql import functions as F
+
+    from zentity_spark.extras import decontaminate
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # 9 tokens -> 2 distinct 8-grams
+    rows = [
+        (0, base),                      # benchmark member: ratio 1.0
+        (1, "a b c d e f g"),           # 7 tokens -> zero 8-grams
+        (2, base + " tail1 tail2"),     # shares both of doc 0's grams
+        (3, "x1 x2 x3 x4 x5 x6 x7 x8"), # 1 gram, no overlap
+    ]
+    docs = docs_df(spark, rows)
+    bench = docs.where(F.col("doc_id") == 0)
+    got = {r["doc_id"]: r for r in decontaminate(docs, bench, n=8).collect()}
+    assert got[0]["n_ngrams"] == 2 and got[0]["contamination"] == 1.0
+    assert got[0]["contaminated"]
+    # gram-less docs survive (explode_outer) with ratio 0
+    assert got[1]["n_ngrams"] == 0 and got[1]["contamination"] == 0.0
+    assert not got[1]["contaminated"]
+    assert got[2]["n_hits"] == 2 and got[2]["n_ngrams"] == 4
+    assert got[2]["contamination"] == 0.5 and got[2]["contaminated"]
+    assert got[3]["n_hits"] == 0 and not got[3]["contaminated"]
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from zentity_spark.extras import stratified_sample
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("stratum"),
+        F.lit("t").alias("text"),
+    )
+    rates = {"0": 0.5, "1": 0.1}
+    kept = stratified_sample(docs, rates).collect()
+    # exact replica of the rule in pure python -> identical keep set
+    def keep(i):
+        k = hashlib.md5(f"zs1:{i}".encode()).hexdigest()[:8]
+        thr = format(int(rates[str(i % 2)] * 0x100000000), "09x")
+        return "0" + k < thr
+    expect = {i for i in range(2000) if keep(i)}
+    assert {r["doc_id"] for r in kept} == expect
+    # rates hold within a loose tolerance on 1000 per stratum
+    n0 = sum(1 for r in kept if r["stratum"] == "0")
+    n1 = sum(1 for r in kept if r["stratum"] == "1")
+    assert abs(n0 / 1000 - 0.5) < 0.08 and abs(n1 / 1000 - 0.1) < 0.05
+    # absent stratum -> dropped entirely
+    only0 = stratified_sample(docs, {"0": 1.0}).collect()
+    assert {r["stratum"] for r in only0} == {"0"} and len(only0) == 1000
+
+
+def test_domain_mixture_fractions(spark):
+    from zentity_spark.extras import domain_mixture
+
+    docs = spark.createDataFrame(
+        [(0, "a", "one two three"), (1, "a", "four five"),
+         (2, "b", "six")],
+        "doc_id long, stratum string, text string",
+    )
+    got = {r["stratum"]: r for r in domain_mixture(docs).collect()}
+    assert got["a"]["n_docs"] == 2 and got["a"]["n_tokens"] == 5
+    assert got["b"]["n_docs"] == 1 and got["b"]["n_tokens"] == 1
+    assert got["a"]["doc_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got["a"]["token_frac"] == pytest.approx(5 / 6, abs=1e-6)

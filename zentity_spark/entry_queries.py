@@ -2274,6 +2274,118 @@ FROM s GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (extras.decontaminate): fraction of
+    each doc's distinct word 8-grams that appear in a benchmark set —
+    here the deterministic subset doc_id % 97 == 0 of the same corpus,
+    so benchmark members score 1.0 and the planted near-duplicates in
+    `documents` score partially. Benchmark n-grams broadcast; one
+    shuffle keyed on doc_id."""
+    from zentity_spark.extras import decontaminate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(d, bench, n=8, threshold=0.5).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 8
+              THEN list_distinct([array_to_string(toks[i:i+7], ' ')
+                                  for i in range(1, len(toks) - 6)])
+              ELSE [] END AS grams
+  FROM tok
+), blist AS (
+  SELECT list(DISTINCT gram) AS bl
+  FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0)
+), scored AS (
+  SELECT doc_id, len(grams) AS n_ngrams,
+         len(list_intersect(grams, bl)) AS n_hits
+  FROM g CROSS JOIN blist
+)
+SELECT doc_id, CAST(n_ngrams AS INT) AS n_ngrams,
+       CAST(n_hits AS INT) AS n_hits,
+       CASE WHEN n_ngrams = 0 THEN 0.0
+            ELSE round(CAST(n_hits AS DOUBLE) / n_ngrams, 6)
+       END AS contamination,
+       (CASE WHEN n_ngrams = 0 THEN 0.0
+             ELSE round(CAST(n_hits AS DOUBLE) / n_ngrams, 6)
+        END) >= 0.5 AS contaminated
+FROM scored ORDER BY doc_id
+"""
+
+
+_STRAT_RATES = {"0": 0.9, "1": 0.5, "2": 0.25, "3": 0.05}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (extras.stratified_sample):
+    strata = doc_id % 4, per-stratum keep rates via lexicographic
+    md5-threshold — zero shuffle, identical keep decisions on any
+    engine with md5 (the reproducibility df.sample() lacks across
+    task retries)."""
+    from zentity_spark.extras import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "stratum", (F.col("doc_id") % 4).cast("string")
+    )
+    return stratified_sample(d, _STRAT_RATES).select(
+        "doc_id", "stratum", "sample_key"
+    ).orderBy("doc_id")
+
+
+def _sql_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{format(int(v * 0x100000000), '09x')}'"
+        for k, v in sorted(_STRAT_RATES.items())
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS stratum,
+         substr(md5('zs1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+  FROM documents
+)
+SELECT doc_id, stratum, sample_key FROM b
+WHERE '0' || sample_key < (CASE stratum {cases} END)
+ORDER BY doc_id
+"""
+
+
+def q_domain_mixture(spark, sf_dir):
+    """Corpus mixture stats (extras.domain_mixture): per-stratum doc and
+    token counts plus corpus fractions — the mixture-weight audit a
+    training-data pipeline runs before sampling. One low-cardinality
+    groupBy with map-side combine; totals broadcast."""
+    from zentity_spark.extras import domain_mixture
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "stratum", (F.col("doc_id") % 4).cast("string")
+    )
+    return domain_mixture(d).orderBy("stratum")
+
+
+SQL_DOMAIN_MIXTURE = r"""
+WITH per AS (
+  SELECT CAST(doc_id % 4 AS VARCHAR) AS stratum, count(*) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+)
+SELECT stratum, n_docs, n_tokens,
+       round(CAST(n_docs AS DOUBLE) / (SELECT sum(n_docs) FROM per), 6)
+         AS doc_frac,
+       round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM per), 6)
+         AS token_frac
+FROM per ORDER BY stratum
+"""
+
+
 # ----------------------------------------------------------------------
 # Registry
 
@@ -2329,6 +2441,9 @@ def all_queries():
         "vocab_stats": q_vocab_stats,
         "pack_sequences": q_pack_sequences,
         "corpus_curation": q_corpus_curation,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "domain_mixture": q_domain_mixture,
         "pricing_summary": q_pricing_summary,
         "top_events": q_top_events,
         "sessionize": q_sessionize,
@@ -2387,6 +2502,9 @@ def all_oracles():
         "vocab_stats": SQL_VOCAB_STATS,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "corpus_curation": _sql_corpus_curation(),
+        "decontaminate": SQL_DECONTAMINATE,
+        "stratified_sample": _sql_stratified_sample(),
+        "domain_mixture": SQL_DOMAIN_MIXTURE,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_events": SQL_TOP_EVENTS,
         "sessionize": SQL_SESSIONIZE,

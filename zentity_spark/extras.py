@@ -1562,3 +1562,128 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
     return packed.join(lang, "doc_id").select(
         "doc_id", "pred_lang", "bucket", "n_tokens", "bin_idx", "pos_in_bin"
     )
+
+
+# ----------------------------------------------------------------------
+# Benchmark decontamination: flag training documents whose word n-grams
+# overlap an evaluation/benchmark set — the standard pre-training hygiene
+# pass (an eval example leaking into the corpus inflates benchmark
+# scores). The benchmark side is SMALL (eval suites are MBs, the corpus
+# is TBs), so it broadcasts; the corpus side is one map pass + one
+# shuffle keyed on doc_id.
+
+def word_ngrams(col: Column, n: int = 8) -> Column:
+    """Distinct word n-grams of a text column as an array<string> —
+    tokens split on the Java-regex/RE2-common [^\\p{L}\\p{N}]+ class
+    (same split as vocab_stats), n-grams joined with single spaces.
+    Pure column expressions: transform over a sequence of offsets."""
+    toks = F.filter(F.split(col, r"[^\p{L}\p{N}]+"), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  threshold: float = 0.5, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document contamination against a benchmark corpus: the
+    fraction of the doc's distinct word n-grams that appear anywhere in
+    the benchmark's n-gram set, and a `contaminated` flag at
+    `threshold`. → (doc_id, n_ngrams, n_hits, contamination,
+    contaminated).
+
+    Scale design: the benchmark n-gram set is built once (distinct) and
+    BROADCAST — corpus rows never shuffle to meet it. Each corpus doc
+    explodes its distinct n-grams (explode_outer so gram-less docs
+    survive), left-broadcast-joins the benchmark set map-side, and one
+    groupBy(doc_id) — the only shuffle, keyed on the high-cardinality
+    id — folds hits and totals. No corpus-side distinct, no benchmark-
+    side shuffle, no driver collect."""
+    bench = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(word_ngrams(F.col(text_col), n)).alias("n_ngrams"),
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    return (
+        exploded.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_ngrams").alias("n_ngrams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("int").alias("n_hits"),
+        )
+        .withColumn(
+            "contamination",
+            F.when(F.col("n_ngrams") == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("n_hits") / F.col("n_ngrams"), 6)
+            ),
+        )
+        .withColumn("contaminated", F.col("contamination") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------------
+# Deterministic stratified sampling: reproducible per-stratum rates with
+# no RNG state — keep a row iff the first 8 hex chars of
+# md5(salt:doc_id) sort below the stratum's threshold. Zero shuffle
+# (pure map), identical decisions on any engine that has md5, stable
+# under re-runs/retries/repartitioning (the property Spark's
+# df.sample() does NOT have across retries).
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      stratum_col: str = "stratum",
+                      id_col: str = "doc_id",
+                      salt: str = "zs1") -> DataFrame:
+    """Keep each row with its stratum's probability, decided by a
+    deterministic hash of (salt, id): keep iff
+    substr(md5(salt || ':' || id), 1, 8) < hex(rate * 2^32). Strata
+    absent from `rates` are dropped (rate 0). Adds `sample_key` (the
+    hex key) for auditability."""
+    pairs: list[Column] = []
+    for k in sorted(rates):
+        thr = format(min(max(int(rates[k] * 0x100000000), 0), 0x100000000), "09x")
+        pairs.extend([F.lit(k), F.lit(thr)])
+    thr_map = F.create_map(*pairs) if pairs else F.create_map()
+    key = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    thr_col = thr_map[F.col(stratum_col).cast("string")]
+    return (
+        docs.withColumn("sample_key", key)
+        .where(thr_col.isNotNull() & (F.concat(F.lit("0"), F.col("sample_key")) < thr_col))
+    )
+
+
+def domain_mixture(docs: DataFrame, stratum_col: str = "stratum",
+                   text_col: str = "text") -> DataFrame:
+    """Per-stratum corpus mixture: document and whitespace-token counts
+    plus each stratum's fraction of the corpus → (stratum, n_docs,
+    n_tokens, doc_frac, token_frac). One groupBy on the (low-
+    cardinality) stratum with map-side partial aggregation; totals ride
+    along as a broadcast single-row aggregate, not a second pass."""
+    per = docs.groupBy(F.col(stratum_col).cast("string").alias("stratum")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("double").alias("_td"),
+        F.sum("n_tokens").cast("double").alias("_tt"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum", "n_docs", "n_tokens",
+            F.round(F.col("n_docs") / F.col("_td"), 6).alias("doc_frac"),
+            F.round(F.col("n_tokens") / F.col("_tt"), 6).alias("token_frac"),
+        )
+    )
