@@ -125,25 +125,100 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     return members.union(roots).dropDuplicates(["record_id"])
 
 
-def bfs_depths(edges: DataFrame, seeds: DataFrame, max_hops: int = 100) -> DataFrame:
+def bfs_depths(edges: DataFrame, seeds: DataFrame, max_hops: int = 100,
+               driver_frontier_cap: int = 50_000) -> DataFrame:
     """Iterative BFS over the edge set from seed records → (record_id,
     hop). The batch counterpart of the reference's `_hop` decoration: a
     doc's hop is the first iteration whose accumulated values reach it,
     which equals its BFS depth from the hop-0 set (value accumulation =
-    frontier expansion)."""
+    frontier expansion).
+
+    Two regimes, mirroring the reference's own shape (Job.java's
+    traverse loop accumulates the frontier on the coordinating node and
+    re-queries per hop):
+
+    - While the accumulated level set stays ≤ driver_frontier_cap, each
+      hop is ONE map-only job: filter the checkpointed edge partitions
+      by the (small) frontier and fold new neighbors with a map-side
+      collect_set — zero shuffles, no per-hop materialization. This is
+      the request-scoped seeded walk, where the frontier is bounded by
+      the same caps as the reference's per-request hop loop.
+    - If a level outgrows the cap (a giant component in batch use), the
+      walk switches to the distributed loop: shuffle-join expansion with
+      an anti-join against the visited union, each level checkpointed.
+      That path's cost is O(frontier) per hop at edge-sized parallelism
+      and never holds a level on the driver."""
     sym = edges.select("src", "dst").union(edges.select(F.col("dst"), F.col("src")))
     sym = sym.toDF("src", "dst").distinct().localCheckpoint()
-    visited = (
-        seeds.select(F.col("record_id")).distinct()
-        .withColumn("hop", F.lit(0)).localCheckpoint()
-    )
-    frontier = visited
+    spark = sym.sparkSession
+
+    seed_rows = seeds.select(F.col("record_id")).distinct()
     hop = 0
+    visited_local: dict[str, int] | None = None
+    visited = frontier = None
+
+    # ---- driver-frontier regime ----
+    seed_ids = [r[0] for r in seed_rows.limit(driver_frontier_cap + 1).collect()]
+    if len(seed_ids) <= driver_frontier_cap:
+        visited_local = {s: 0 for s in seed_ids}
+        frontier_ids = set(seed_ids)
+        while hop < max_hops and frontier_ids:
+            hop += 1
+            # one single-row aggregate job: partial collect_set dedupes
+            # map-side, only distinct neighbors reach the driver. Small
+            # levels filter with an isin literal (pure map, no exchange);
+            # larger ones broadcast-join (an isin tree of 50K literals
+            # is an analyzer cost, not a win).
+            if len(frontier_ids) <= 1024:
+                touched = sym.where(F.col("src").isin(list(frontier_ids)))
+            else:
+                fdf = spark.createDataFrame(
+                    [(k,) for k in frontier_ids], "src string"
+                )
+                touched = sym.join(F.broadcast(fdf), "src")
+            row = touched.agg(F.collect_set("dst").alias("n")).collect()[0]
+            nxt = {d for d in (row["n"] or []) if d not in visited_local}
+            if not nxt:
+                frontier_ids = set()
+                break
+            for d in nxt:
+                visited_local[d] = hop
+            frontier_ids = nxt
+            if len(frontier_ids) > driver_frontier_cap:
+                # level outgrew the driver budget: hand off to the
+                # distributed loop with the state accumulated so far
+                visited = spark.createDataFrame(
+                    [(k, h) for k, h in visited_local.items()],
+                    "record_id string, hop int",
+                ).localCheckpoint()
+                frontier = spark.createDataFrame(
+                    [(k,) for k in frontier_ids], "record_id string"
+                ).withColumn("hop", F.lit(hop)).localCheckpoint()
+                visited_local = None
+                break
+        if visited_local is not None:
+            return spark.createDataFrame(
+                [(k, h) for k, h in sorted(visited_local.items())],
+                "record_id string, hop int",
+            )
+    else:
+        visited = seed_rows.withColumn("hop", F.lit(0)).localCheckpoint()
+        frontier = visited
+
+    # ---- distributed regime ----
+    # size the per-hop shuffles to the edge set, never above the session
+    # setting (same round sizing as connected_components)
+    try:
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        session_parts = spark.sparkContext.defaultParallelism
+    target = min(session_parts, max(8, sym.count() // 250_000 + 1))
     while hop < max_hops:
         hop += 1
         nxt = (
             sym.join(frontier.select(F.col("record_id").alias("src")), "src")
             .select(F.col("dst").alias("record_id"))
+            .repartition(target, "record_id")
             .distinct()
             .join(visited.select("record_id"), "record_id", "left_anti")
             .withColumn("hop", F.lit(hop))
