@@ -224,6 +224,10 @@ QUERY_SUBSET = [
     "vocab_stats",
     "pack_sequences",
     "corpus_curation",
+    # round-3 session-8 additions
+    "decontaminate",
+    "stratified_sample",
+    "domain_mixture",
 ]
 
 

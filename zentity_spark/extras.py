@@ -26,6 +26,11 @@ Text analysis:
   vocab_stats          corpus tf/df/idf, deterministic top-k
   pack_sequences       greedy first-fit-sequential sample packing into
                        fixed token budgets (bucketed applyInPandas)
+  decontaminate        per-doc word-n-gram overlap vs a broadcast
+                       benchmark set (eval-leak hygiene)
+  stratified_sample    per-stratum keep rates via lexicographic md5
+                       threshold — zero shuffle, retry-stable
+  domain_mixture       per-stratum doc/token counts + corpus fractions
 Multimodal:
   decode_media_batches mapInPandas over opaque binary columns: REAL
                        pure-stdlib decode of PNG/GIF/JPEG/PPM/PGM/WAV
