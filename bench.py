@@ -225,6 +225,7 @@ QUERY_SUBSET = [
     "pack_sequences",
     "corpus_curation",
     # round-3 session-8 additions
+    "near_dup_dedup",
     "decontaminate",
     "stratified_sample",
     "domain_mixture",

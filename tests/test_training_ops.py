@@ -178,3 +178,26 @@ def test_domain_mixture_fractions(spark):
     assert got["b"]["n_docs"] == 1 and got["b"]["n_tokens"] == 1
     assert got["a"]["doc_frac"] == pytest.approx(2 / 3, abs=1e-6)
     assert got["a"]["token_frac"] == pytest.approx(5 / 6, abs=1e-6)
+
+
+def test_near_dup_dedup_transitive_groups(spark):
+    from zentity_spark.extras import near_dup_dedup
+
+    # a & b share most shingles; b & c share most shingles; a & c are
+    # farther apart — transitivity must still group all three. d is a
+    # singleton. Ids chosen so numeric min != lexicographic string min
+    # (2 vs 10): the zero-pad before CC keeps the keeper numeric.
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (10, base + " tailb"),
+        (2, base + " taila"),
+        (30, base.replace("w1 ", "") + " tailb tailc"),
+        (40, "completely unrelated text body here"),
+    ]
+    got = {r["doc_id"]: r for r in
+           near_dup_dedup(docs_df(spark, rows), k=3, bands=4,
+                          jaccard_threshold=0.5).collect()}
+    assert got[2]["group_id"] == 2 and got[2]["kept"]
+    assert got[10]["group_id"] == 2 and not got[10]["kept"]
+    assert got[30]["group_id"] == 2 and not got[30]["kept"]
+    assert got[40]["group_id"] == 40 and got[40]["kept"]

@@ -2274,6 +2274,42 @@ FROM s GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_near_dup_dedup(spark, sf_dir):
+    """End-to-end near-dup dedup (extras.near_dup_dedup): MinHash-LSH
+    verified pairs → transitive groups via connected components → keep
+    the min-id member. Same (k=3, bands=4, t=0.2) surface as the
+    near_dup_pairs query, so the oracle composes that query's SQL with
+    the CC recursive CTE and a left join back to the corpus."""
+    from zentity_spark.extras import near_dup_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dup_dedup(d, k=3, bands=4, jaccard_threshold=0.2).orderBy(
+        "doc_id"
+    )
+
+
+def _sql_near_dup_dedup() -> str:
+    pairs_body = SQL_NEAR_DUP.rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_body}),
+sym AS (
+  SELECT id_l AS s, id_r AS d FROM pairs
+  UNION SELECT id_r, id_l FROM pairs
+), reach(node, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.node
+), cc AS (
+  SELECT node, min(r) AS grp FROM reach GROUP BY node
+)
+SELECT doc.doc_id,
+       COALESCE(cc.grp, doc.doc_id) AS group_id,
+       doc.doc_id = COALESCE(cc.grp, doc.doc_id) AS kept
+FROM documents doc LEFT JOIN cc ON cc.node = doc.doc_id
+ORDER BY doc.doc_id
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (extras.decontaminate): fraction of
     each doc's distinct word 8-grams that appear in a benchmark set —
@@ -2441,6 +2477,7 @@ def all_queries():
         "vocab_stats": q_vocab_stats,
         "pack_sequences": q_pack_sequences,
         "corpus_curation": q_corpus_curation,
+        "near_dup_dedup": q_near_dup_dedup,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "domain_mixture": q_domain_mixture,
@@ -2502,6 +2539,7 @@ def all_oracles():
         "vocab_stats": SQL_VOCAB_STATS,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "corpus_curation": _sql_corpus_curation(),
+        "near_dup_dedup": _sql_near_dup_dedup(),
         "decontaminate": SQL_DECONTAMINATE,
         "stratified_sample": _sql_stratified_sample(),
         "domain_mixture": SQL_DOMAIN_MIXTURE,

@@ -1692,3 +1692,46 @@ def domain_mixture(docs: DataFrame, stratum_col: str = "stratum",
             F.round(F.col("n_tokens") / F.col("_tt"), 6).alias("token_frac"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# End-to-end near-duplicate deduplication: MinHash-LSH pairs →
+# transitive groups (two docs 80% similar to a third are duplicates of
+# each other even if their direct Jaccard is below threshold) → keep
+# the minimum-id representative per group.
+
+def near_dup_dedup(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 3, bands: int = 8,
+                   jaccard_threshold: float = 0.5) -> DataFrame:
+    """→ (doc_id, group_id, kept): every document labeled with its
+    transitive near-duplicate group (group id = min member id) and
+    whether it is the group's kept representative. Docs in no verified
+    pair are their own group.
+
+    Composition of two already-tested operators: `near_dup_pairs`
+    (banded MinHash-LSH candidates, exact-Jaccard verify on hashed
+    shingle sets) feeds `connected_components` (large-star/small-star).
+    Ids are zero-padded before entering CC so its lexicographic min is
+    the numeric min — the keeper rule stays engine-portable. The final
+    assignment is one left join of the (corpus-sized) id list against
+    the (duplicate-sized, typically tiny) component map."""
+    from zentity_spark.clustering import connected_components
+
+    pairs = near_dup_pairs(docs, text_col, id_col, k, bands,
+                           jaccard_threshold)
+    pad = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
+    edges = pairs.select(pad(F.col("id_l")).alias("src"),
+                         pad(F.col("id_r")).alias("dst"))
+    cc = connected_components(edges).select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("_grp"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_grp"), F.col("doc_id")).alias("group_id"),
+        )
+        .withColumn("kept", F.col("doc_id") == F.col("group_id"))
+    )
