@@ -1581,15 +1581,24 @@ def word_ngrams(col: Column, n: int = 8) -> Column:
     """Distinct word n-grams of a text column as an array<string> —
     tokens split on the Java-regex/RE2-common [^\\p{L}\\p{N}]+ class
     (same split as vocab_stats), n-grams joined with single spaces.
-    Pure column expressions: transform over a sequence of offsets."""
+
+    Plan-shape constraint (PLANS.md rule 1, the winnowing lesson): the
+    token array must NOT be referenced inside a per-offset lambda
+    (`transform(offsets, i -> slice(toks, i, n))`) — Catalyst inlines
+    the computed array into the lambda body and re-runs split+filter
+    for EVERY offset, O(L²) per document (measured 267s → 3s on the
+    bench corpus). Instead the n-gram array is an elementwise fold of
+    n SHIFTED slices via zip_with/concat_ws: slice arguments are
+    evaluated once per row, lambdas only see element variables."""
     toks = F.filter(F.split(col, r"[^\p{L}\p{N}]+"), lambda t: t != "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, F.lit(1), m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, F.lit(j + 1), m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.array_distinct(acc)
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
@@ -1615,10 +1624,14 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    exploded = docs.select(
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(word_ngrams(F.col(text_col), n)).alias("n_ngrams"),
-        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram"),
+        word_ngrams(F.col(text_col), n).alias("_grams"),
+    )
+    exploded = staged.select(
+        "doc_id",
+        F.size("_grams").alias("n_ngrams"),
+        F.explode_outer("_grams").alias("gram"),
     )
     return (
         exploded.join(F.broadcast(bench), "gram", "left")
