@@ -108,13 +108,26 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def shingles(col: Column, k: int = 3) -> Column:
-    """Word k-shingles of canonicalized text (array<string>)."""
+    """Word k-shingles of canonicalized text (array<string>).
+
+    Built as an elementwise fold of k SHIFTED slices (zip_with/
+    concat_ws), not `transform(offsets, i -> slice(words, i, k))` —
+    referencing the computed word array inside a per-offset lambda
+    makes Catalyst re-run canonicalize+split per element, O(L²) per
+    document (PLANS.md rule 1; measured 6× on the bench corpus for
+    the k=2 ngram_jaccard index)."""
     words = F.split(canonical_text(col), " ")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k, F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    )).otherwise(F.array(canonical_text(col)))
+    m = F.greatest(n - (k - 1), F.lit(0))
+    acc = F.slice(words, F.lit(1), m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(words, F.lit(j + 1), m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(n >= k, F.array_distinct(acc)).otherwise(
+        F.array(canonical_text(col))
+    )
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
