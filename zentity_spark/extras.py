@@ -264,12 +264,41 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # full tokenize → df-join → collect_list pipeline (same rule as
     # simhash's fingerprint table)
     prefix = ordered.select(
-        "doc_id", F.explode(F.slice(F.col("ordered"), F.lit(1), p)).alias("pg")
-    ).select("doc_id", F.col("pg.gram").alias("gram")).localCheckpoint(eager=False)
+        "doc_id", F.size("ordered").alias("sz"),
+        F.posexplode(F.slice(F.col("ordered"), F.lit(1), p)).alias("pos0", "pg"),
+    ).select(
+        "doc_id", "sz", (F.col("pos0") + 1).alias("pos"),
+        F.col("pg.gram").alias("gram"),
+    ).localCheckpoint(eager=False)
+    # PPJoin positional filter (Xiao et al. 2008, lossless): J(x,y) >= t
+    # ⇔ overlap >= t/(1+t)·(|x|+|y|); a shared gram at positions
+    # (px, py) of the two frequency-ordered arrays bounds the remaining
+    # overlap by 1 + min(|x|-px, |y|-py). Pairs whose bound falls short
+    # of the requirement are dropped INSIDE the join, before the
+    # distinct and the array-shipping verify — this is what keeps the
+    # candidate set bounded when the corpus vocabulary is small and the
+    # prefix filter alone degenerates toward all-pairs (uniform-vocab
+    # corpora: every doc's prefix is the same hot grams). The ceil is
+    # nudged DOWN (relative + absolute, same IEEE reasoning as the
+    # prefix length above) so rounding can only ADMIT extra candidates.
+    alpha = float(threshold) / (1.0 + float(threshold))
+    req_sum = F.lit(alpha) * (F.col("l.sz") + F.col("r.sz")).cast("double")
+    required = F.ceil(req_sum - (F.lit(1e-9) + req_sum * F.lit(1e-12)))
     cand = (
         prefix.alias("l")
-        .join(prefix.alias("r"), "gram")
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .join(
+            prefix.alias("r"),
+            (F.col("l.gram") == F.col("r.gram"))
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            & (
+                1
+                + F.least(
+                    F.col("l.sz") - F.col("l.pos"),
+                    F.col("r.sz") - F.col("r.pos"),
+                )
+                >= required
+            ),
+        )
         .select(F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"))
         .distinct()
     )
