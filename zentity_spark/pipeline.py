@@ -70,6 +70,15 @@ def _build_filtered_values(spark, turns, compiled, config) -> DataFrame:
     """Long values table with the hot-value (junk-value) filter applied."""
     values = build_values(spark, turns, compiled)
     if config.max_value_frequency is not None:
+        # rule 18 (two consumers): the frequency aggregate AND the
+        # anti-join's left side both read the full values derivation
+        # (scan + regex extraction + key hashing); uncheckpointed, the
+        # whole thing runs twice. Neutral at bench scale (the input is
+        # memory-resident; interleaved A/B within window noise) but
+        # decisive at corpus scale, where the doubled work is two full
+        # scans of the raw input vs one scan plus a write+read of the
+        # much smaller values table.
+        values = values.localCheckpoint(eager=False)
         hot = (
             values.groupBy("attribute", "raw")
             .agg(F.count_distinct("record_id").alias("freq"))
