@@ -135,6 +135,26 @@ def ann_probe(spark, sf_dir: str) -> dict:
         for row in ann_topk_bucketed(e, 0, 10, dim=64, bands=bands,
                                      planes_per_band=r).collect()
     }
+    # the multiprobe end of the recall/scan curve: probing each band's
+    # Hamming-1 bucket neighborhood on a NO-structure corpus buys recall
+    # by scanning a much larger fraction — both ends reported so the
+    # tradeoff is visible (clustered corpora concentrate far harder)
+    mp_bucketed = {
+        row["vec_id"]
+        for row in ann_topk_bucketed(e, 0, 10, dim=64, bands=bands,
+                                     planes_per_band=r, multiprobe=1).collect()
+    }
+    qb_mp = qb.select(
+        "band",
+        F.explode(F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(r)],
+        )).alias("bucket"),
+    ).distinct()
+    mp_probe = (
+        bk.join(F.broadcast(qb_mp), ["band", "bucket"])
+        .where(F.col("vec_id") != 0).select("vec_id").distinct().count()
+    )
     from zentity_spark.extras import ann_topk_ivf
 
     ivf_cents, ivf_probe = 32, 8
@@ -188,6 +208,9 @@ def ann_probe(spark, sf_dir: str) -> dict:
         # set concentrates true neighbors than a random scan of the same
         # size (a random probe of fraction f has expected recall f)
         "topk_enrichment_vs_random": round(topk_recall / max(topk_probe_fraction, 1e-9), 1),
+        # multiprobe end of the same curve (Hamming-1 bucket neighbors)
+        "topk_multiprobe_probe_fraction": round(mp_probe / max(n - 1, 1), 6),
+        "topk_multiprobe_recall_vs_bruteforce": round(len(brute & mp_bucketed) / 10, 3),
         # IVF-flat path: scan-to-score fraction ≈ n_probe/n_centroids
         "ivf_probe_fraction": ivf_probe_fraction,
         "ivf_recall_vs_bruteforce": ivf_recall,
@@ -307,6 +330,8 @@ def main():
         "pair_recall": round(recall, 6),
         "cpus": cpus,
         "ann_topk_recall": ann.get("topk_recall_vs_bruteforce"),
+        "ann_topk_multiprobe_recall": ann.get(
+            "topk_multiprobe_recall_vs_bruteforce"),
         "ann_clustered_recall": ann.get("clustered", {}).get(
             "topk_recall_vs_bruteforce"),
         "ann_clustered_ivf_recall": ann.get("clustered", {}).get(
