@@ -144,12 +144,13 @@ def ann_probe(spark, sf_dir: str) -> dict:
         for row in ann_topk_bucketed(e, 0, 10, dim=64, bands=bands,
                                      planes_per_band=r, multiprobe=1).collect()
     }
+    from zentity_spark.extras import multiprobe_bucket_variants
+
     qb_mp = qb.select(
         "band",
-        F.explode(F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(r)],
-        )).alias("bucket"),
+        F.explode(
+            multiprobe_bucket_variants(F.col("bucket"), r)
+        ).alias("bucket"),
     ).distinct()
     mp_probe = (
         bk.join(F.broadcast(qb_mp), ["band", "bucket"])

@@ -60,3 +60,18 @@ def test_max_hops_truncates(spark):
     out2 = bfs_depths(_edges(spark), seeds, max_hops=2,
                       driver_frontier_cap=2)
     assert sorted((r["record_id"], r["hop"]) for r in out2.collect()) == got
+
+
+def test_hub_level_hands_off_before_driver_collect(spark):
+    # a0 -> h, h -> b0..b9 (a 10-wide level). cap=4: the driver regime
+    # walks a0 -> h, then the RAW neighbor probe of {h} (11 ids incl.
+    # a0) outgrows the cap, so the walk must hand off BEFORE
+    # materializing the level and still produce exact depths.
+    rows = [("a0", "h")] + [("h", "b%d" % i) for i in range(10)]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    seeds = spark.createDataFrame([("a0",)], "record_id string")
+    out = bfs_depths(edges, seeds, max_hops=5, driver_frontier_cap=4)
+    got = sorted((r["record_id"], r["hop"]) for r in out.collect())
+    assert got == sorted(
+        [("a0", 0), ("h", 1)] + [("b%d" % i, 2) for i in range(10)]
+    )

@@ -201,3 +201,38 @@ def test_near_dup_dedup_transitive_groups(spark):
     assert got[10]["group_id"] == 2 and not got[10]["kept"]
     assert got[30]["group_id"] == 2 and not got[30]["kept"]
     assert got[40]["group_id"] == 40 and got[40]["kept"]
+
+
+def test_decontaminate_null_text(spark):
+    from pyspark.sql import functions as F
+
+    from zentity_spark.extras import decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, "w1 w2 w3 w4 w5 w6 w7 w8 w9"), (1, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           decontaminate(docs, docs.where(F.col("doc_id") == 0), n=8).collect()}
+    # a NULL-text doc has ZERO n-grams, not an unknown set — every
+    # output column must stay non-null (downstream filters on
+    # `contaminated` treat NULL as neither true nor false)
+    assert got[1]["n_ngrams"] == 0 and got[1]["n_hits"] == 0
+    assert got[1]["contamination"] == 0.0 and got[1]["contaminated"] is False
+
+
+def test_near_dup_dedup_string_ids(spark):
+    from zentity_spark.extras import near_dup_dedup
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [("doc_b", base + " x"), ("doc_a", base + " y"), ("zzz", "unrelated words here")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           near_dup_dedup(docs, k=3, bands=4, jaccard_threshold=0.5).collect()}
+    # string ids must survive the padded-CC round trip (no cast-to-long
+    # nulling); keeper = min by padded order = plain string min here
+    assert got["doc_a"]["group_id"] == "doc_a" and got["doc_a"]["kept"]
+    assert got["doc_b"]["group_id"] == "doc_a" and not got["doc_b"]["kept"]
+    assert got["zzz"]["group_id"] == "zzz" and got["zzz"]["kept"]

@@ -220,17 +220,23 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame, max_hops: int = 100,
                     [(k,) for k in frontier_ids], "src string"
                 )
                 touched = sym.join(F.broadcast(fdf), "src")
-            row = touched.agg(F.collect_set("dst").alias("n")).collect()[0]
-            nxt = {d for d in (row["n"] or []) if d not in visited_local}
-            if not nxt:
-                frontier_ids = set()
-                break
-            for d in nxt:
-                visited_local[d] = hop
-            frontier_ids = nxt
-            if len(frontier_ids) > driver_frontier_cap:
-                # level outgrew the driver budget: hand off to the
-                # distributed loop with the state accumulated so far
+            # the collected set is SLICED inside the aggregate so at most
+            # cap+1 ids ever ship to the driver — a hub level with 50M
+            # neighbors must trip the handoff below, not maxResultSize.
+            # (The aggregation buffer itself is executor-side, same
+            # memory class as any hot groupBy key.)
+            row = touched.agg(
+                F.expr(
+                    f"slice(collect_set(dst), 1, {int(driver_frontier_cap) + 1})"
+                ).alias("n")
+            ).collect()[0]
+            got = row["n"] or []
+            if len(got) > driver_frontier_cap:
+                # the raw neighbor set (pre visited-subtraction) outgrew
+                # the driver budget: hand off BEFORE establishing this
+                # level — the distributed loop re-expands from the same
+                # frontier
+                hop -= 1
                 visited = spark.createDataFrame(
                     [(k, h) for k, h in visited_local.items()],
                     "record_id string, hop int",
@@ -240,6 +246,13 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame, max_hops: int = 100,
                 ).withColumn("hop", F.lit(hop)).localCheckpoint()
                 visited_local = None
                 break
+            nxt = {d for d in got if d not in visited_local}
+            if not nxt:
+                frontier_ids = set()
+                break
+            for d in nxt:
+                visited_local[d] = hop
+            frontier_ids = nxt
         if visited_local is not None:
             return spark.createDataFrame(
                 [(k, h) for k, h in sorted(visited_local.items())],

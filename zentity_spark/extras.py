@@ -668,6 +668,17 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dim: int = 64,
     return (out, dropped) if with_metrics else out
 
 
+def multiprobe_bucket_variants(bucket: Column, planes_per_band: int) -> Column:
+    """The Hamming-1 probe neighborhood of a band bucket: the bucket
+    itself plus each single-plane sign flip. The ONE definition of the
+    multiprobe set — ann_topk_bucketed probes it and bench.py measures
+    its probe fraction, so the pair can't drift apart."""
+    return F.array(
+        bucket,
+        *[bucket.bitwiseXOR(F.lit(1 << i)) for i in range(planes_per_band)],
+    )
+
+
 def ann_topk_bucketed(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
                       dim: int = 64, bands: int = 16,
                       planes_per_band: int = 8,
@@ -691,13 +702,11 @@ def ann_topk_bucketed(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
                            planes_per_band).localCheckpoint(eager=False)
     qb = b.where(F.col("vec_id") == query_vec_id).select("band", "bucket")
     if multiprobe >= 1:
-        variants = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << i))
-              for i in range(planes_per_band)],
-        )
         qb = qb.select(
-            "band", F.explode(variants).alias("bucket")
+            "band",
+            F.explode(
+                multiprobe_bucket_variants(F.col("bucket"), planes_per_band)
+            ).alias("bucket"),
         ).distinct()
     probe_ids = (
         b.join(F.broadcast(qb), ["band", "bucket"])
@@ -1640,7 +1649,10 @@ def word_ngrams(col: Column, n: int = 8) -> Column:
             acc, F.slice(toks, F.lit(j + 1), m),
             lambda a, b: F.concat_ws(" ", a, b),
         )
-    return F.array_distinct(acc)
+    # NULL text propagates NULL through split/slice/zip_with — a null
+    # doc has zero n-grams, not an unknown set (decontaminate's
+    # n_ngrams/contaminated must stay non-null for it)
+    return F.coalesce(F.array_distinct(acc), F.array().cast("array<string>"))
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
@@ -1766,24 +1778,35 @@ def near_dup_dedup(docs: DataFrame, text_col: str = "text",
     Composition of two already-tested operators: `near_dup_pairs`
     (banded MinHash-LSH candidates, exact-Jaccard verify on hashed
     shingle sets) feeds `connected_components` (large-star/small-star).
-    Ids are zero-padded before entering CC so its lexicographic min is
-    the numeric min — the keeper rule stays engine-portable. The final
-    assignment is one left join of the (corpus-sized) id list against
-    the (duplicate-sized, typically tiny) component map."""
+    Ids are zero-padded (width 32) before entering CC so its
+    lexicographic min is the numeric min for integral ids — the keeper
+    rule stays engine-portable — and the padded labels are mapped back
+    to ORIGINAL ids through joins, never a cast (string ids survive;
+    ids longer than 32 chars are unsupported — lpad would truncate and
+    could collide). The final assignment is one left join of the
+    (corpus-sized) id list against the (duplicate-sized, typically
+    tiny) component map."""
     from zentity_spark.clustering import connected_components
 
     pairs = near_dup_pairs(docs, text_col, id_col, k, bands,
                            jaccard_threshold)
-    pad = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
+    pad = lambda c: F.lpad(c.cast("string"), 32, "0")  # noqa: E731
     edges = pairs.select(pad(F.col("id_l")).alias("src"),
                          pad(F.col("id_r")).alias("dst"))
-    cc = connected_components(edges).select(
-        F.col("record_id").cast("long").alias("doc_id"),
-        F.col("cluster_id").cast("long").alias("_grp"),
+    cc = connected_components(edges)
+    idmap = docs.select(F.col(id_col).alias("doc_id")).distinct().select(
+        "doc_id", pad(F.col("doc_id")).alias("_pad")
+    )
+    assigned = (
+        cc.join(idmap.withColumnRenamed("doc_id", "_member")
+                     .withColumnRenamed("_pad", "record_id"), "record_id")
+        .join(idmap.withColumnRenamed("doc_id", "_grp")
+                   .withColumnRenamed("_pad", "cluster_id"), "cluster_id")
+        .select(F.col("_member").alias("doc_id"), "_grp")
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(cc, "doc_id", "left")
+        .join(assigned, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("_grp"), F.col("doc_id")).alias("group_id"),
