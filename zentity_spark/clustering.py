@@ -137,8 +137,11 @@ def connected_components(edges: DataFrame, max_iterations: int = 50,
     spark = e.sparkSession
     n_edges = e.count()
     if n_edges <= driver_edge_cap:
+        # one collect job (the cap bounds it to ~50 MB) — toLocalIterator
+        # would cost one round-trip job per partition, which at 32
+        # partitions is most of a second of pure scheduling
         assignments = _driver_union_find(
-            (r[0], r[1]) for r in e.toLocalIterator()
+            (r[0], r[1]) for r in e.collect()
         )
         return spark.createDataFrame(
             assignments, "record_id string, cluster_id string"

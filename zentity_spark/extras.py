@@ -1721,6 +1721,7 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     substr(md5(salt || ':' || id), 1, 8) < hex(rate * 2^32). Strata
     absent from `rates` are dropped (rate 0). Adds `sample_key` (the
     hex key) for auditability."""
+    rates = {str(k): float(v) for k, v in rates.items()}
     pairs: list[Column] = []
     for k in sorted(rates):
         thr = format(min(max(int(rates[k] * 0x100000000), 0), 0x100000000), "09x")
