@@ -253,6 +253,10 @@ QUERY_SUBSET = [
     "decontaminate",
     "stratified_sample",
     "domain_mixture",
+    # round-3 session-9 additions
+    "semantic_dedup",
+    "lm_quality",
+    "tfidf_keywords",
 ]
 
 

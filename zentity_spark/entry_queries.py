@@ -2422,6 +2422,122 @@ FROM per ORDER BY stratum
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (extras.semantic_dedup): coarse
+    k-means-style clustering of the embedding space (the ann_ivf_topk
+    md5-seeded codebook, map-only assignment), intra-cluster cosine
+    near-dup via the capped+salted blocking self-join, greedy min-id
+    keeper. threshold 0.3 pins a meaningful keep/drop split on the
+    synthetic near-uniform vectors (intra-cluster p99 cosine ≈ 0.34)."""
+    from zentity_spark.extras import semantic_dedup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(e, n_centroids=16, threshold=0.3).orderBy("vec_id")
+
+
+def _sql_semantic_dedup(n_centroids: int = 16, threshold: float = 0.3) -> str:
+    # the codebook + assignment CTEs are the ann_ivf_topk oracle's,
+    # verbatim: same md5-sampled seeds, same rounded-cosine argmax with
+    # centroid-id tie-break
+    return f"""
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {n_centroids}
+),
+a AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC,
+                      c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c)
+  WHERE rn = 1
+),
+e AS (
+  SELECT a.vec_id, a.cid, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings JOIN a USING (vec_id)
+),
+dup AS (
+  SELECT DISTINCT e2.vec_id
+  FROM e e1 JOIN e e2 ON e1.cid = e2.cid AND e1.vec_id < e2.vec_id
+  WHERE round(list_cosine_similarity(e1.v, e2.v), 6) >= {threshold}
+)
+SELECT e.vec_id, CAST(e.cid AS INT) AS cid, (d.vec_id IS NULL) AS keep
+FROM e LEFT JOIN dup d ON e.vec_id = d.vec_id
+ORDER BY e.vec_id
+"""
+
+
+def q_lm_quality(spark, sf_dir):
+    """Unigram-LM fluency proxy (extras.lm_quality): per-doc mean
+    ln p(token) under the corpus unigram MLE — the cheap stand-in for
+    the CCNet/Gopher KenLM perplexity filter. One explode pass, three
+    keyed aggregations, zero UDFs."""
+    from zentity_spark.extras import lm_quality
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_quality(d).orderBy("doc_id")
+
+
+SQL_LM_QUALITY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+dtf AS (SELECT doc_id, token, count(*) AS dtf FROM toks GROUP BY 1, 2),
+counts AS (SELECT token, sum(dtf) AS ctf FROM dtf GROUP BY 1),
+tot AS (SELECT CAST(sum(ctf) AS DOUBLE) AS t FROM counts),
+s AS (
+  SELECT doc_id, CAST(sum(dtf) AS BIGINT) AS n_tokens,
+         round(sum(dtf * ln(ctf / t)) / sum(dtf), 6) AS logprob_mean
+  FROM dtf JOIN counts USING (token), tot GROUP BY doc_id
+)
+SELECT d.doc_id, s.n_tokens, s.logprob_mean
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc top-5 TF-IDF keywords (extras.tfidf_keywords): the
+    per-document layer over vocab_stats' corpus term statistics. The
+    rank window orders by the ROUNDED score with token-ASC tie-break so
+    the top-k cutoff is engine-portable."""
+    from zentity_spark.extras import tfidf_keywords
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_keywords(d, k=5).orderBy("doc_id", "kw_rank")
+
+
+SQL_TFIDF_KEYWORDS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+dtf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df FROM dtf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+s AS (
+  SELECT doc_id, token, tf,
+         round(tf * ln(n.n / df), 6) AS score
+  FROM dtf JOIN dfreq USING (token), n
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score,
+       CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, token ASC) AS INT) AS kw_rank
+FROM s
+QUALIFY kw_rank <= 5
+ORDER BY doc_id, kw_rank
+"""
+
+
 # ----------------------------------------------------------------------
 # Registry
 
@@ -2481,6 +2597,9 @@ def all_queries():
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "domain_mixture": q_domain_mixture,
+        "semantic_dedup": q_semantic_dedup,
+        "lm_quality": q_lm_quality,
+        "tfidf_keywords": q_tfidf_keywords,
         "pricing_summary": q_pricing_summary,
         "top_events": q_top_events,
         "sessionize": q_sessionize,
@@ -2543,6 +2662,9 @@ def all_oracles():
         "decontaminate": SQL_DECONTAMINATE,
         "stratified_sample": _sql_stratified_sample(),
         "domain_mixture": SQL_DOMAIN_MIXTURE,
+        "semantic_dedup": _sql_semantic_dedup(),
+        "lm_quality": SQL_LM_QUALITY,
+        "tfidf_keywords": SQL_TFIDF_KEYWORDS,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_events": SQL_TOP_EVENTS,
         "sessionize": SQL_SESSIONIZE,

@@ -1814,3 +1814,169 @@ def near_dup_dedup(docs: DataFrame, text_col: str = "text",
         )
         .withColumn("kept", F.col("doc_id") == F.col("group_id"))
     )
+
+
+# ----------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space coarsely, then dedup INSIDE clusters only
+# — the pair quadratic shrinks from O(n²) to sum over clusters of
+# O(|c|²), and the cluster assignment itself is map-only.
+
+def semantic_dedup(embeddings: DataFrame, n_centroids: int = 16,
+                   threshold: float = 0.3, dim: int = 64,
+                   max_cluster_size: int | None = 100_000,
+                   salt_threshold: int | None = 2000,
+                   with_metrics: bool = False):
+    """→ (vec_id, cid, keep): every vector labeled with its coarse
+    cluster and whether it survives semantic dedup. A vector is a
+    duplicate iff some LOWER-id vector in the SAME cluster has rounded
+    cosine ≥ threshold (greedy min-id keeper — deterministic and
+    engine-portable, the same keeper convention as exact_dedup).
+
+    Scale design — three reused, already-audited pieces:
+    - codebook: `ivf_centroids` (deterministic md5-sampled seeds,
+      model-sized driver state, exactly the ann_ivf_topk quantizer);
+    - assignment: `_ivf_cid_expr` — map-only inline argmax, no shuffle
+      or join touches the vectors;
+    - intra-cluster pairs: the SAME capped + salted self-join as entity
+      blocking and embedding_near_dup (cluster id as the blocking key):
+      a degenerate cluster larger than max_cluster_size is dropped
+      deterministically and reported (with_metrics=True returns the
+      dropped-blocks frame), hot clusters are salted so no task owns a
+      whole cluster's quadratic. The verify join ships (id_l, id_r)
+      rows only and fetches vectors + precomputed norms by id.
+
+    threshold is corpus-relative: production SemDeDup uses ~0.95+ on
+    real embeddings; the synthetic near-uniform test vectors sit at a
+    low cosine floor (intra-cluster p99 ≈ 0.34 at sf0.01), so the
+    contract query pins 0.3 to exercise a meaningful keep/drop split.
+    """
+    from zentity_spark.blocking import candidate_pairs as _candidate_pairs
+
+    cents = ivf_centroids(embeddings, n_centroids, 0, dim)
+    # three consumers (blocks, verify-side vectors, final output) —
+    # materialize the assignment + norms once
+    assigned = embeddings.select(
+        "vec_id", "embedding", _ivf_cid_expr(cents),
+        vec_norm(F.col("embedding")).alias("nrm"),
+    ).localCheckpoint(eager=False)
+    blocks = assigned.select(
+        F.lit("semdedup").alias("resolver"),
+        F.col("cid").cast("string").alias("ckey"),
+        F.col("vec_id").alias("record_id"),
+    )
+    cand, dropped = _candidate_pairs(
+        blocks, max_block_size=max_cluster_size, salt_threshold=salt_threshold
+    )
+    dup_ids = (
+        cand.select("id_l", "id_r").dropDuplicates(["id_l", "id_r"])
+        .join(assigned.select(F.col("vec_id").alias("id_l"),
+                              F.col("embedding").alias("emb_l"),
+                              F.col("nrm").alias("nrm_l")), "id_l")
+        .join(assigned.select(F.col("vec_id").alias("id_r"),
+                              F.col("embedding").alias("emb_r"),
+                              F.col("nrm").alias("nrm_r")), "id_r")
+        .where(
+            F.round(cosine_from_norms(F.col("emb_l"), F.col("emb_r"),
+                                      F.col("nrm_l"), F.col("nrm_r")), 6)
+            >= threshold
+        )
+        .select(F.col("id_r").alias("vec_id"))
+        .distinct()
+    )
+    out = (
+        assigned.select("vec_id", F.col("cid").cast("int").alias("cid"))
+        .join(dup_ids.withColumn("_dup", F.lit(True)), "vec_id", "left")
+        .withColumn("keep", F.col("_dup").isNull())
+        .drop("_dup")
+    )
+    return (out, dropped) if with_metrics else out
+
+
+# ----------------------------------------------------------------------
+# Unigram-LM fluency scoring: the cheap stand-in for the KenLM
+# perplexity filter in CCNet/Gopher-style pipelines — score each doc by
+# the mean log corpus-MLE unigram probability of its tokens. No
+# smoothing is needed: every scored token has corpus count ≥ 1 by
+# construction (the LM is fit on the corpus being scored).
+
+def lm_quality(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, n_tokens, logprob_mean): per-doc token count and mean
+    ln p(token) under the corpus unigram MLE. Higher = more fluent /
+    more typical; the usual filter drops both tails (gibberish low,
+    boilerplate high).
+
+    Plan (one explode pass, three keyed aggregations, no UDF):
+    tokens → per-(doc, token) counts (map-side combine collapses the
+    in-doc repeats) → corpus counts derived FROM the (doc, token)
+    table (token-keyed shuffle of pre-aggregated rows — the raw-token
+    join would be stopword-skewed; this one is vocab-shaped) → one
+    token-keyed join + doc-keyed weighted average. The corpus total
+    rides along as a broadcast single-row aggregate, so the function
+    stays a lazy plan builder."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"[^\p{L}\p{N}]+")).alias("token"),
+    ).where(F.col("token") != "")
+    dtf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("dtf")
+    ).localCheckpoint(eager=False)
+    counts = dtf.groupBy("token").agg(F.sum("dtf").alias("ctf"))
+    total = counts.agg(F.sum("ctf").cast("double").alias("_t"))
+    scored = (
+        dtf.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dtf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("dtf") * F.log(F.col("ctf") / F.col("_t")))
+                / F.sum("dtf"), 6
+            ).alias("logprob_mean"),
+        )
+    )
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        scored, "doc_id", "left"
+    )
+
+
+# ----------------------------------------------------------------------
+# Per-document TF-IDF keywords: the per-doc layer over vocab_stats'
+# corpus-level term statistics.
+
+def tfidf_keywords(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """→ (doc_id, token, tf, score, kw_rank): each document's top-k
+    terms by tf·idf with score = tf_doc · ln(N/df), ranked per doc.
+
+    Determinism across engines: the window orders by the ROUNDED score
+    (6dp, the same precision the correctness hash uses) with token ASC
+    as the tie-break, so the rank-k cutoff cannot flip on last-bit
+    float noise. Plan: explode → (doc, token) counts → document
+    frequency derived FROM that table (vocab-shaped shuffle) → join
+    back + one per-doc row_number window (a partition is one doc's
+    distinct tokens — bounded by doc length, never corpus-sized)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"[^\p{L}\p{N}]+")).alias("token"),
+    ).where(F.col("token") != "")
+    dtf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint(eager=False)
+    dfreq = dtf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("_n"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        dtf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score", F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6)
+        )
+        .withColumn("kw_rank", F.row_number().over(w))
+        .where(F.col("kw_rank") <= k)
+        .select(
+            "doc_id", "token", F.col("tf").cast("long").alias("tf"),
+            "score", F.col("kw_rank").cast("int").alias("kw_rank"),
+        )
+    )
