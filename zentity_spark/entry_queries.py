@@ -2538,6 +2538,99 @@ ORDER BY doc_id, kw_rank
 """
 
 
+def q_substring_spans(spark, sf_dir):
+    """Exact substring dedup — removal spans (extras.substring_dup_spans,
+    Lee et al. 2021 arXiv:2107.06499 semantics, windowed-hash
+    formulation): every 8-token window whose text occurs more than once
+    in the corpus, minus each group's global first occurrence, merged
+    into maximal per-doc token intervals. One corpus-token-sized shuffle
+    on a 16-byte digest, duplicate filter BEFORE the join back, per-doc
+    islands window."""
+    from zentity_spark.extras import substring_dup_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return substring_dup_spans(d, min_tokens=8).orderBy("doc_id", "span_start")
+
+
+def _sql_substring_spans(min_tokens: int = 8) -> str:
+    k = min_tokens - 1
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^\p{{L}}\p{{N}}]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i AS INT) AS win_idx,
+         md5(array_to_string(toks[i:i+{k}], ' ')) AS h
+  FROM tok, unnest(generate_series(1, greatest(len(toks) - {k}, 0))) AS t(i)
+), marked AS (
+  SELECT doc_id, win_idx,
+         count(*) OVER (PARTITION BY h) AS n,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, win_idx) AS rn
+  FROM occ
+), dup AS (
+  SELECT doc_id, win_idx, win_idx + {k} AS win_end
+  FROM marked WHERE n > 1 AND rn > 1
+), isl AS (
+  SELECT doc_id, win_idx, win_end,
+         CASE WHEN max(win_end) OVER w IS NULL
+                OR win_idx > max(win_end) OVER w + 1
+              THEN 1 ELSE 0 END AS new_isl
+  FROM dup
+  WINDOW w AS (PARTITION BY doc_id ORDER BY win_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl2 AS (
+  SELECT doc_id, win_idx, win_end,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY win_idx) AS g
+  FROM isl
+)
+SELECT doc_id, CAST(min(win_idx) AS INT) AS span_start,
+       CAST(max(win_end) AS INT) AS span_end,
+       CAST(max(win_end) - min(win_idx) + 1 AS INT) AS span_tokens,
+       count(*) AS n_windows
+FROM isl2 GROUP BY doc_id, g ORDER BY doc_id, span_start
+"""
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact substring dedup — applied (extras.substring_dedup): the
+    corpus with non-keeper duplicated 8-token spans removed from the
+    token stream; clean_text is the space-join of surviving tokens. The
+    removal mask is per-token exists() over the doc's merged span list
+    — JVM HOFs only, no UDF."""
+    from zentity_spark.extras import substring_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return substring_dedup(d, min_tokens=8).orderBy("doc_id")
+
+
+def _sql_substring_dedup(min_tokens: int = 8) -> str:
+    spans_body = _sql_substring_spans(min_tokens).rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH spans AS ({spans_body}),
+sp AS (
+  SELECT doc_id, list({{'s': span_start, 'e': span_end}}) AS spans
+  FROM spans GROUP BY doc_id
+), tok2 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}\\p{{N}}]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), clean AS (
+  SELECT t.doc_id, t.toks,
+         list_filter(t.toks, (x, i) ->
+           len(list_filter(coalesce(sp.spans, []),
+                           s -> i >= s.s AND i <= s.e)) = 0) AS ctoks
+  FROM tok2 t LEFT JOIN sp USING (doc_id)
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(ctoks) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(ctoks, ' '), '') AS clean_text
+FROM clean ORDER BY doc_id
+"""
+
+
 # ----------------------------------------------------------------------
 # Registry
 
@@ -2600,6 +2693,8 @@ def all_queries():
         "semantic_dedup": q_semantic_dedup,
         "lm_quality": q_lm_quality,
         "tfidf_keywords": q_tfidf_keywords,
+        "substring_spans": q_substring_spans,
+        "substring_dedup": q_substring_dedup,
         "pricing_summary": q_pricing_summary,
         "top_events": q_top_events,
         "sessionize": q_sessionize,
@@ -2665,6 +2760,8 @@ def all_oracles():
         "semantic_dedup": _sql_semantic_dedup(),
         "lm_quality": SQL_LM_QUALITY,
         "tfidf_keywords": SQL_TFIDF_KEYWORDS,
+        "substring_spans": _sql_substring_spans(),
+        "substring_dedup": _sql_substring_dedup(),
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_events": SQL_TOP_EVENTS,
         "sessionize": SQL_SESSIONIZE,

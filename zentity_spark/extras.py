@@ -1980,3 +1980,168 @@ def tfidf_keywords(docs: DataFrame, text_col: str = "text",
             "score", F.col("kw_rank").cast("int").alias("kw_rank"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Exact substring deduplication (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better", arXiv:2107.06499): find
+# token spans of length >= min_tokens that occur more than once
+# ANYWHERE in the corpus and remove every occurrence except the
+# globally-first one. The reference method builds a corpus suffix
+# array (single-machine); the distributed equivalent used here is the
+# standard windowed-hash formulation: every sliding min_tokens-token
+# window is hashed, windows whose hash occurs >1 times are duplicated,
+# and the non-keeper occurrences are merged into maximal removal spans.
+
+def _positioned_windows(docs: DataFrame, min_tokens: int,
+                        text_col: str, id_col: str) -> DataFrame:
+    """→ (doc_id, win_idx, h): one row per sliding min_tokens-token
+    window, win_idx = 1-based start-token position, h = 16-byte binary
+    md5 of the space-joined window.
+
+    Plan shape: the window array is the same elementwise fold of
+    SHIFTED slices as word_ngrams (PLANS.md rule 1 — never reference
+    the computed token array inside a per-offset lambda), WITHOUT the
+    distinct (positions matter here), then one posexplode. The hash is
+    unhex(md5) binary — 16 bytes instead of a 32-char string — because
+    this table is the op's dominant shuffle (one row per corpus token)
+    and the digest never appears in output. 128 bits keeps false window
+    merges off the table at trillion-window scale, where a 64-bit
+    xxhash would already be deep into birthday collisions."""
+    toks = F.filter(F.split(F.col(text_col), r"[^\p{L}\p{N}]+"),
+                    lambda t: t != "")
+    m = F.greatest(F.size(toks) - (min_tokens - 1), F.lit(0))
+    acc = F.slice(toks, F.lit(1), m)
+    for j in range(1, min_tokens):
+        acc = F.zip_with(
+            acc, F.slice(toks, F.lit(j + 1), m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.coalesce(acc, F.array().cast("array<string>")))
+         .alias("_pos", "_gram"),
+    ).select(
+        "doc_id",
+        (F.col("_pos") + 1).cast("int").alias("win_idx"),
+        F.unhex(F.md5("_gram")).alias("h"),
+    )
+
+
+def substring_dup_spans(docs: DataFrame, min_tokens: int = 8,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, span_start, span_end, span_tokens, n_windows): the
+    maximal token spans to REMOVE under exact substring dedup — every
+    window of min_tokens consecutive tokens whose text occurs elsewhere
+    in the corpus, except each window-group's global keeper (minimum
+    (doc_id, win_idx) occurrence, the same greedy first-occurrence
+    convention as exact_dedup/paragraph_dedup), merged into maximal
+    intervals per doc (gaps-and-islands over window starts).
+
+    Scale design: one corpus-token-sized shuffle keyed on the 16-byte
+    window digest (groupBy with map-side partial min/count), filtered
+    to duplicated hashes BEFORE the join back — on real corpora the
+    overwhelming majority of windows are unique, so the join-back side
+    is a small fraction of the window table. The islands pass is a
+    per-doc window function: partitions are bounded by document length,
+    never corpus-sized. No driver collect, no all-pairs product."""
+    occ = _positioned_windows(docs, min_tokens, text_col, id_col)
+    groups = (
+        occ.groupBy("h")
+        .agg(F.count("*").alias("_n"),
+             F.min(F.struct("doc_id", "win_idx")).alias("_keeper"))
+        .where(F.col("_n") > 1)
+    )
+    dup = (
+        occ.join(groups, "h")
+        .where(~((F.col("_keeper.doc_id") == F.col("doc_id"))
+                 & (F.col("_keeper.win_idx") == F.col("win_idx"))))
+        .select("doc_id", "win_idx",
+                (F.col("win_idx") + (min_tokens - 1)).alias("win_end"))
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("win_idx")
+    dup = (
+        dup.withColumn(
+            "_pmax",
+            F.max("win_end").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "_new",
+            (F.col("_pmax").isNull()
+             | (F.col("win_idx") > F.col("_pmax") + 1)).cast("int"),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_new").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        dup.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("win_idx").cast("int").alias("span_start"),
+            F.max("win_end").cast("int").alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("int").alias("span_tokens"),
+            "n_windows",
+        )
+    )
+
+
+def substring_dedup(docs: DataFrame, min_tokens: int = 8,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, n_tokens, n_removed, clean_text): the corpus with
+    duplicated substrings removed — substring_dup_spans applied back to
+    the token stream. clean_text is the space-join of the tokens
+    OUTSIDE every removal span (tokenization is the op's canonical
+    form, as in Lee et al.'s token-level removal).
+
+    The spans arrive pre-merged and per-doc few, so the removal mask is
+    a per-token exists() over the doc's span list — O(tokens × spans)
+    per doc with tiny span counts, all JVM-side HOFs, no UDF. Lambdas
+    only reference element variables and the joined span-array column
+    (a plain attribute), so the token-array fold is evaluated once per
+    row (PLANS.md rule 1)."""
+    toks_col = F.filter(F.split(F.col(text_col), r"[^\p{L}\p{N}]+"),
+                        lambda t: t != "")
+    spans = substring_dup_spans(docs, min_tokens, text_col, id_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    staged = (
+        docs.select(F.col(id_col).alias("doc_id"), toks_col.alias("_toks"))
+        .join(per_doc, "doc_id", "left")
+        .withColumn(
+            "_spans",
+            F.coalesce(
+                "_spans",
+                F.array().cast("array<struct<span_start:int,span_end:int>>"),
+            ),
+        )
+    )
+    # sequence(1, 0) would produce [1, 0] (Spark infers a negative
+    # step), so the empty-token case is gated explicitly
+    mask = F.when(
+        F.size("_toks") > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks")),
+            lambda i: F.exists(
+                F.col("_spans"),
+                lambda s: (i >= s.span_start) & (i <= s.span_end),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<boolean>"))
+    cleaned = F.array_compact(
+        F.zip_with("_toks", mask, lambda t, c: F.when(c, F.lit(None)).otherwise(t))
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(cleaned)).cast("long").alias("n_removed"),
+        F.array_join(cleaned, " ").alias("clean_text"),
+    )
