@@ -257,6 +257,9 @@ QUERY_SUBSET = [
     "semantic_dedup",
     "lm_quality",
     "tfidf_keywords",
+    # round-3 session-10 additions
+    "substring_dedup",
+    "sorted_neighborhood",
 ]
 
 

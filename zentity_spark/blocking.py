@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from zentity_spark.compiler import CompiledModel
@@ -188,3 +188,86 @@ def candidate_pairs(blocks: DataFrame, max_block_size: int | None = 10000,
         cand = pair_join(cold, []).unionByName(hot_pairs)
 
     return cand.dropDuplicates(["resolver", "id_l", "id_r"]), dropped
+
+
+def global_rank(df: DataFrame, sort_cols: list[str],
+                rank_col: str = "rank") -> DataFrame:
+    """Dense global row-number by `sort_cols` WITHOUT a single-partition
+    window (the naive `row_number() OVER (ORDER BY ...)` serializes the
+    whole table through one task — a non-starter at 10¹² rows).
+
+    The scalable two-pass shape: repartitionByRange on the sort columns
+    (range partitions are emitted in key order, so partition i holds
+    keys strictly below partition i+1), rank within each partition, then
+    shift each partition by the total row count of the partitions before
+    it. The per-partition counts are O(#partitions) rows — collected
+    once and rebroadcast as a join against literals. Ranks are
+    1-based and match ORDER BY exactly when `sort_cols` is a total
+    order (callers append a unique id as the last sort column)."""
+    parted = df.repartitionByRange(*[F.col(c) for c in sort_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parted = parted.localCheckpoint(eager=True)
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in sort_cols])
+    local = parted.withColumn("_rn", F.row_number().over(w))
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def sorted_neighborhood_pairs(records: DataFrame, key_col: str,
+                              id_col: str, window: int = 5) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernández & Stolfo
+    1995, the merge/purge method) — the classic alternative to key-
+    equality blocking when match keys are noisy: sort all records by a
+    lexicographic key and pair every record with its `window-1`
+    successors in sort order. → (id_a, id_b, dist) with dist = rank
+    distance ∈ [1, window-1], ordered pairs (id_a at the lower rank).
+
+    Complements the resolver blocks (blocking_keys/candidate_pairs):
+    equality blocking misses pairs whose keys differ in a low-order
+    character; SNM catches any pair the sort places within the window.
+    Multi-pass SNM = union of calls with different key expressions.
+
+    Scale design: the only global structure is the rank, built by
+    global_rank's two-pass range-partition scheme (no single-partition
+    window). Pair generation is rank arithmetic: each record explodes
+    to its window-1 successor ranks and equi-joins the ranked table on
+    that integer — one O(n·(window-1)) hash/SMJ shuffle on a dense
+    numeric key (uniform by construction: every rank appears at most
+    window-1 times), no all-pairs product, no skew. Ties in `key_col`
+    are broken by `id_col`, so output is deterministic."""
+    if window < 2:
+        raise ValueError("sorted_neighborhood_pairs: window must be >= 2")
+    ranked = global_rank(
+        records.select(F.col(key_col).alias("_key"), F.col(id_col).alias("_id")),
+        ["_key", "_id"],
+    )
+    probes = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("rank").alias("_rank_a"),
+        F.explode(
+            F.sequence(F.col("rank") + 1, F.col("rank") + (window - 1))
+        ).alias("rank"),
+    )
+    return (
+        probes.join(ranked.select("rank", F.col("_id").alias("id_b")), "rank")
+        .select(
+            "id_a", "id_b",
+            (F.col("rank") - F.col("_rank_a")).cast("int").alias("dist"),
+        )
+    )

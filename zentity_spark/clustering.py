@@ -293,3 +293,51 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame, max_hops: int = 100,
         visited = visited.union(nxt)
         frontier = nxt
     return visited
+
+
+def bcubed_metrics(pred: DataFrame, gold: DataFrame,
+                   id_col: str = "record_id",
+                   pred_col: str = "cluster_id",
+                   gold_col: str = "gold_id") -> DataFrame:
+    """B-cubed clustering quality (Bagga & Baldwin 1998; the standard
+    extrinsic entity-resolution metric alongside pairwise F1 — per
+    record, precision = |pred∩gold|/|pred cluster| and recall =
+    |pred∩gold|/|gold cluster|, averaged over records). → ONE row
+    (n_records, bcubed_precision, bcubed_recall, bcubed_f1).
+
+    Identity: sum over records of |c(r)∩g(r)|/|c(r)| equals
+    Σ_{(c,g)} n_cg² / n_c where n_cg = |cluster c ∩ gold class g| —
+    so the whole metric is three keyed aggregations (map-side partial
+    counts), two broadcast-sized joins of the contingency table against
+    the per-cluster / per-class size tables, and one global fold. No
+    per-record state survives the first groupBy: at 10¹² records the
+    shuffles carry (cluster, class, count) triples, bounded by the
+    number of DISTINCT (cluster, class) co-occurrences, not records.
+    Records missing from either side are inner-join-dropped (both
+    clusterings must cover a record for it to be scoreable)."""
+    t = (
+        pred.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_c"))
+        .join(
+            gold.select(F.col(id_col).alias("_id"), F.col(gold_col).alias("_g")),
+            "_id",
+        )
+    )
+    cont = t.groupBy("_c", "_g").agg(F.count("*").alias("n_cg"))
+    c_sizes = cont.groupBy("_c").agg(F.sum("n_cg").alias("n_c"))
+    g_sizes = cont.groupBy("_g").agg(F.sum("n_cg").alias("n_g"))
+    joined = cont.join(F.broadcast(c_sizes), "_c").join(F.broadcast(g_sizes), "_g")
+    agg = joined.select(
+        F.sum("n_cg").alias("n"),
+        F.sum(F.col("n_cg") * F.col("n_cg") / F.col("n_c")).alias("p_sum"),
+        F.sum(F.col("n_cg") * F.col("n_cg") / F.col("n_g")).alias("r_sum"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_records"),
+        (F.col("p_sum") / F.col("n")).alias("bcubed_precision"),
+        (F.col("r_sum") / F.col("n")).alias("bcubed_recall"),
+        F.when(
+            (F.col("p_sum") + F.col("r_sum")) > 0,
+            2.0 * (F.col("p_sum") / F.col("n")) * (F.col("r_sum") / F.col("n"))
+            / ((F.col("p_sum") / F.col("n")) + (F.col("r_sum") / F.col("n"))),
+        ).otherwise(F.lit(0.0)).alias("bcubed_f1"),
+    )

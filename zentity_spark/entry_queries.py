@@ -2631,6 +2631,83 @@ FROM clean ORDER BY doc_id
 """
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood candidate generation (Hernández & Stolfo
+    1995) — the second blocking strategy next to resolver key-equality
+    blocks: records sorted by (mktsegment | name), each paired with its
+    4 successors. Scale path: global rank via range-partitioned two-pass
+    offsets (no single-partition window), pairs via rank arithmetic +
+    one integer equi-join (blocking.sorted_neighborhood_pairs)."""
+    from zentity_spark.blocking import sorted_neighborhood_pairs
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    recs = c.select(
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("snkey"),
+        "c_custkey",
+    )
+    return (
+        sorted_neighborhood_pairs(recs, "snkey", "c_custkey", window=5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH r AS (
+  SELECT c_custkey AS id,
+         row_number() OVER (
+           ORDER BY c_mktsegment || '|' || c_name, c_custkey) AS rnk
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b, CAST(b.rnk - a.rnk AS INT) AS dist
+FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 4
+ORDER BY id_a, id_b
+"""
+
+
+def q_bcubed_lsh(spark, sf_dir):
+    """B-cubed clustering quality (Bagga & Baldwin 1998) of the
+    hyperplane-LSH bucket assignment against the embeddings table's
+    gold `label` — the standard extrinsic ER metric next to the
+    pipeline's pairwise F1. One row; the whole metric is keyed
+    aggregations over the (bucket, label) contingency table
+    (clustering.bcubed_metrics)."""
+    from zentity_spark.clustering import bcubed_metrics
+    from zentity_spark.extras import ann_lsh_buckets
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = ann_lsh_buckets(e, dim=64, n_planes=6)
+    pred = b.select(F.col("vec_id").alias("record_id"),
+                    F.col("bucket").alias("cluster_id"))
+    gold = b.select(F.col("vec_id").alias("record_id"),
+                    F.col("label").cast("long").alias("gold_id"))
+    return bcubed_metrics(pred, gold)
+
+
+def _sql_bcubed_lsh() -> str:
+    buckets = _sql_lsh_buckets().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH b AS ({buckets}),
+cont AS (
+  SELECT bucket AS c, CAST(label AS BIGINT) AS g, count(*) AS n_cg
+  FROM b GROUP BY 1, 2
+), cs AS (SELECT c, sum(n_cg) AS n_c FROM cont GROUP BY 1),
+gs AS (SELECT g, sum(n_cg) AS n_g FROM cont GROUP BY 1),
+s AS (
+  SELECT sum(n_cg) AS n,
+         sum(n_cg * n_cg / CAST(n_c AS DOUBLE)) AS p_sum,
+         sum(n_cg * n_cg / CAST(n_g AS DOUBLE)) AS r_sum
+  FROM cont JOIN cs USING (c) JOIN gs USING (g)
+)
+SELECT CAST(n AS BIGINT) AS n_records,
+       p_sum / n AS bcubed_precision,
+       r_sum / n AS bcubed_recall,
+       CASE WHEN p_sum + r_sum > 0
+            THEN 2 * (p_sum / n) * (r_sum / n) / ((p_sum / n) + (r_sum / n))
+            ELSE 0.0 END AS bcubed_f1
+FROM s
+"""
+
+
 # ----------------------------------------------------------------------
 # Registry
 
@@ -2695,6 +2772,8 @@ def all_queries():
         "tfidf_keywords": q_tfidf_keywords,
         "substring_spans": q_substring_spans,
         "substring_dedup": q_substring_dedup,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "bcubed_lsh": q_bcubed_lsh,
         "pricing_summary": q_pricing_summary,
         "top_events": q_top_events,
         "sessionize": q_sessionize,
@@ -2762,6 +2841,8 @@ def all_oracles():
         "tfidf_keywords": SQL_TFIDF_KEYWORDS,
         "substring_spans": _sql_substring_spans(),
         "substring_dedup": _sql_substring_dedup(),
+        "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
+        "bcubed_lsh": _sql_bcubed_lsh(),
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_events": SQL_TOP_EVENTS,
         "sessionize": SQL_SESSIONIZE,
