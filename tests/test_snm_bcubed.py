@@ -123,3 +123,61 @@ def test_bcubed_inner_join_scope(spark):
     assert m["n_records"] == 2
     assert m["bcubed_precision"] == pytest.approx(1.0)
     assert m["bcubed_recall"] == pytest.approx(1.0)
+
+
+def _pair_metrics(spark, pred, gold):
+    from zentity_spark.clustering import pairwise_cluster_metrics
+
+    p = spark.createDataFrame(pred, "record_id string, cluster_id string")
+    g = spark.createDataFrame(gold, "record_id string, gold_id string")
+    return pairwise_cluster_metrics(p, g).collect()[0]
+
+
+def test_pairwise_hand_worked(spark):
+    # same worlds as test_bcubed_hand_worked: contingency (A,x)=2,
+    # (A,y)=1, (B,y)=2 → tp=2, sum_c=4, sum_g=4, n=5
+    # exp = 4*4/10 = 1.6; ari = (2-1.6)/(4-1.6) = 1/6
+    pred = [("a", "A"), ("b", "A"), ("c", "A"), ("d", "B"), ("e", "B")]
+    gold = [("a", "x"), ("b", "x"), ("c", "y"), ("d", "y"), ("e", "y")]
+    m = _pair_metrics(spark, pred, gold)
+    assert m["pair_tp"] == 2
+    assert m["pair_precision"] == pytest.approx(0.5)
+    assert m["pair_recall"] == pytest.approx(0.5)
+    assert m["pair_f1"] == pytest.approx(0.5)
+    assert m["ari"] == pytest.approx(1 / 6)
+
+
+def test_pairwise_perfect_and_trivial(spark):
+    pred = [("a", "1"), ("b", "1"), ("c", "2")]
+    gold = [("a", "x"), ("b", "x"), ("c", "y")]
+    m = _pair_metrics(spark, pred, gold)
+    assert (m["pair_precision"], m["pair_recall"], m["ari"]) == (1.0, 1.0, 1.0)
+    # both all-singletons: chance-adjusted denominator 0 → ARI 1.0
+    # (sklearn convention), precision/recall 0 (no same-cluster pairs)
+    singles = [(x, x) for x in "abcd"]
+    m2 = _pair_metrics(spark, singles, singles)
+    assert m2["ari"] == pytest.approx(1.0)
+    assert m2["pair_precision"] == 0.0 and m2["pair_f1"] == 0.0
+
+
+def test_pairwise_vs_sklearn_formula_random(spark):
+    # brute-force pair enumeration as the oracle on random worlds
+    import itertools
+    import random
+
+    rng = random.Random(3)
+    n = 60
+    pred = [(str(i), str(rng.randrange(6))) for i in range(n)]
+    gold = [(str(i), str(rng.randrange(4))) for i in range(n)]
+    pm, gm = dict(pred), dict(gold)
+    tp = fp = fn = 0
+    for a, b in itertools.combinations(range(n), 2):
+        sp = pm[str(a)] == pm[str(b)]
+        sg = gm[str(a)] == gm[str(b)]
+        tp += sp and sg
+        fp += sp and not sg
+        fn += sg and not sp
+    m = _pair_metrics(spark, pred, gold)
+    assert m["pair_tp"] == tp
+    assert m["pair_precision"] == pytest.approx(tp / (tp + fp))
+    assert m["pair_recall"] == pytest.approx(tp / (tp + fn))

@@ -341,3 +341,59 @@ def bcubed_metrics(pred: DataFrame, gold: DataFrame,
             / ((F.col("p_sum") / F.col("n")) + (F.col("r_sum") / F.col("n"))),
         ).otherwise(F.lit(0.0)).alias("bcubed_f1"),
     )
+
+
+def pairwise_cluster_metrics(pred: DataFrame, gold: DataFrame,
+                             id_col: str = "record_id",
+                             pred_col: str = "cluster_id",
+                             gold_col: str = "gold_id") -> DataFrame:
+    """Pairwise clustering quality + Adjusted Rand Index — the other
+    two standard extrinsic ER metrics next to bcubed_metrics, computed
+    from the same (cluster, class) contingency table: over all C(n,2)
+    record pairs, TP = pairs co-clustered in BOTH, precision =
+    TP / same-pred pairs, recall = TP / same-gold pairs; ARI is the
+    chance-adjusted Rand index (Hubert & Arabie 1985, sklearn's
+    convention: 1.0 when the chance-adjusted denominator is 0, i.e.
+    both clusterings trivially identical). → ONE row (n_records,
+    pair_tp, pair_precision, pair_recall, pair_f1, ari).
+
+    Every pair count is an exact integer fold of the contingency table
+    (Σ n(n-1) DIV 2 — never a join over pairs, so 10¹² records cost the
+    same three keyed aggregations as bcubed_metrics); the only floating
+    point is the final ratios, so results are engine-reproducible."""
+    t = (
+        pred.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_c"))
+        .join(
+            gold.select(F.col(id_col).alias("_id"), F.col(gold_col).alias("_g")),
+            "_id",
+        )
+    )
+    cont = t.groupBy("_c", "_g").agg(F.count("*").alias("n_cg"))
+    pairs2 = lambda c: F.sum(F.expr(f"{c} * ({c} - 1) DIV 2"))  # noqa: E731
+    tp = cont.agg(
+        F.sum("n_cg").alias("n"), pairs2("n_cg").alias("tp")
+    )
+    c_pairs = (
+        cont.groupBy("_c").agg(F.sum("n_cg").alias("n_c"))
+        .agg(pairs2("n_c").alias("sum_c"))
+    )
+    g_pairs = (
+        cont.groupBy("_g").agg(F.sum("n_cg").alias("n_g"))
+        .agg(pairs2("n_g").alias("sum_g"))
+    )
+    j = tp.crossJoin(c_pairs).crossJoin(g_pairs)
+    total = F.expr("n * (n - 1) DIV 2")
+    exp_idx = F.col("sum_c") * F.col("sum_g") / total
+    denom = (F.col("sum_c") + F.col("sum_g")) / F.lit(2.0) - exp_idx
+    prec = F.when(F.col("sum_c") > 0, F.col("tp") / F.col("sum_c")).otherwise(F.lit(0.0))
+    rec = F.when(F.col("sum_g") > 0, F.col("tp") / F.col("sum_g")).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("n").cast("long").alias("n_records"),
+        F.col("tp").cast("long").alias("pair_tp"),
+        prec.alias("pair_precision"),
+        rec.alias("pair_recall"),
+        F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
+         .otherwise(F.lit(0.0)).alias("pair_f1"),
+        F.when(denom == 0, F.lit(1.0))
+         .otherwise((F.col("tp") - exp_idx) / denom).alias("ari"),
+    )

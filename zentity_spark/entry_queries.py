@@ -2708,6 +2708,65 @@ FROM s
 """
 
 
+def q_cluster_eval(spark, sf_dir):
+    """Pairwise P/R/F1 + Adjusted Rand Index of the LSH bucket
+    assignment vs the embeddings gold labels — completes the extrinsic
+    evaluation family (pairwise + ARI here, B-cubed in bcubed_lsh).
+    Exact-integer pair counts folded from the contingency table
+    (clustering.pairwise_cluster_metrics), never a pair join."""
+    from zentity_spark.clustering import pairwise_cluster_metrics
+    from zentity_spark.extras import ann_lsh_buckets
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = ann_lsh_buckets(e, dim=64, n_planes=6)
+    pred = b.select(F.col("vec_id").alias("record_id"),
+                    F.col("bucket").alias("cluster_id"))
+    gold = b.select(F.col("vec_id").alias("record_id"),
+                    F.col("label").cast("long").alias("gold_id"))
+    return pairwise_cluster_metrics(pred, gold)
+
+
+def _sql_cluster_eval() -> str:
+    buckets = _sql_lsh_buckets().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH b AS ({buckets}),
+cont AS (
+  SELECT bucket AS c, CAST(label AS BIGINT) AS g, count(*) AS n_cg
+  FROM b GROUP BY 1, 2
+), tp AS (
+  SELECT CAST(sum(n_cg) AS BIGINT) AS n,
+         CAST(sum(n_cg * (n_cg - 1) // 2) AS BIGINT) AS tp
+  FROM cont
+), cp AS (
+  SELECT CAST(sum(n_c * (n_c - 1) // 2) AS BIGINT) AS sum_c
+  FROM (SELECT sum(n_cg) AS n_c FROM cont GROUP BY c)
+), gp AS (
+  SELECT CAST(sum(n_g * (n_g - 1) // 2) AS BIGINT) AS sum_g
+  FROM (SELECT sum(n_cg) AS n_g FROM cont GROUP BY g)
+), j AS (SELECT * FROM tp, cp, gp)
+SELECT n AS n_records, tp AS pair_tp,
+       CASE WHEN sum_c > 0 THEN tp / CAST(sum_c AS DOUBLE) ELSE 0.0 END
+         AS pair_precision,
+       CASE WHEN sum_g > 0 THEN tp / CAST(sum_g AS DOUBLE) ELSE 0.0 END
+         AS pair_recall,
+       CASE WHEN (CASE WHEN sum_c > 0 THEN tp / CAST(sum_c AS DOUBLE) ELSE 0.0 END)
+               + (CASE WHEN sum_g > 0 THEN tp / CAST(sum_g AS DOUBLE) ELSE 0.0 END) > 0
+            THEN 2 * (CASE WHEN sum_c > 0 THEN tp / CAST(sum_c AS DOUBLE) ELSE 0.0 END)
+                   * (CASE WHEN sum_g > 0 THEN tp / CAST(sum_g AS DOUBLE) ELSE 0.0 END)
+                 / ((CASE WHEN sum_c > 0 THEN tp / CAST(sum_c AS DOUBLE) ELSE 0.0 END)
+                  + (CASE WHEN sum_g > 0 THEN tp / CAST(sum_g AS DOUBLE) ELSE 0.0 END))
+            ELSE 0.0 END AS pair_f1,
+       CASE WHEN (sum_c + sum_g) / 2.0
+                 - sum_c * sum_g / CAST(n * (n - 1) // 2 AS DOUBLE) = 0
+            THEN 1.0
+            ELSE (tp - sum_c * sum_g / CAST(n * (n - 1) // 2 AS DOUBLE))
+               / ((sum_c + sum_g) / 2.0
+                  - sum_c * sum_g / CAST(n * (n - 1) // 2 AS DOUBLE))
+       END AS ari
+FROM j
+"""
+
+
 # ----------------------------------------------------------------------
 # Registry
 
@@ -2774,6 +2833,7 @@ def all_queries():
         "substring_dedup": q_substring_dedup,
         "sorted_neighborhood": q_sorted_neighborhood,
         "bcubed_lsh": q_bcubed_lsh,
+        "cluster_eval": q_cluster_eval,
         "pricing_summary": q_pricing_summary,
         "top_events": q_top_events,
         "sessionize": q_sessionize,
@@ -2843,6 +2903,7 @@ def all_oracles():
         "substring_dedup": _sql_substring_dedup(),
         "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
         "bcubed_lsh": _sql_bcubed_lsh(),
+        "cluster_eval": _sql_cluster_eval(),
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_events": SQL_TOP_EVENTS,
         "sessionize": SQL_SESSIONIZE,
