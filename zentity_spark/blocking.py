@@ -271,3 +271,85 @@ def sorted_neighborhood_pairs(records: DataFrame, key_col: str,
             (F.col("rank") - F.col("_rank_a")).cast("int").alias("dist"),
         )
     )
+
+def meta_block_pairs(blocks: DataFrame, key_col: str = "ckey",
+                     id_col: str = "record_id",
+                     max_block_size: int | None = 100,
+                     prune_scheme: str | None = "js") -> DataFrame:
+    """Meta-blocking (Papadakis et al., TKDE 2013): refine an OVERLAPPING
+    block collection — e.g. token/shingle blocking, where every token is
+    a block and blocks share most of their records — by weighting each
+    co-occurring record pair with block-graph evidence and pruning the
+    weak edges, instead of comparing every co-occurring pair.
+
+    Input: (key_col, id_col) rows — one row per (block, member). Steps:
+
+    1. BLOCK PURGING: drop singleton blocks (no pairs) and blocks larger
+       than max_block_size (stop-word keys; O(b²) pairs of near-zero
+       evidence — the same degenerate-key guard as candidate_pairs).
+    2. EDGE WEIGHTING, one pair-shuffle total: pairs are generated inside
+       each surviving block carrying (block size, each side's total block
+       count), then groupBy(pair) folds them into the standard schemes —
+       cbs   = #shared blocks (Common Blocks Scheme),
+       arcs  = Σ_b 1/(|b|·(|b|-1)/2) (Aggregated Reciprocal Comparisons),
+       js    = cbs / (n_l + n_r - cbs) (Jaccard of the two block lists).
+       Per-record block counts are attached to the skinny block rows
+       BEFORE pair generation, so no post-aggregation join on the (much
+       larger) pair table is needed.
+    3. WEIGHT-EDGE PRUNING (WEP): keep edges whose `prune_scheme` weight
+       is >= the global mean edge weight (the classic unsupervised
+       threshold). prune_scheme=None returns all weighted edges.
+
+    Returns (id_l, id_r, cbs long, arcs double, js double) pairs with
+    id_l < id_r. Scale shape: one groupBy(key) for sizes, one
+    groupBy(id) for counts (both map-side combined), one within-block
+    self-join on the block key, one groupBy(pair) — no all-pairs
+    product, and the mean threshold is a single O(1) aggregate.
+    """
+    b = blocks.select(F.col(key_col).alias("_bkey"), F.col(id_col).alias("_id"))
+    sizes = b.groupBy("_bkey").agg(F.count("*").alias("_bsize"))
+    sizes = sizes.where(F.col("_bsize") >= 2)
+    if max_block_size is not None:
+        sizes = sizes.where(F.col("_bsize") <= max_block_size)
+    purged = b.join(sizes, "_bkey")  # purge + attach |b|
+    # per-record block counts over the PURGED collection, so js is the
+    # Jaccard of the block lists that can actually produce comparisons
+    counts = purged.groupBy("_id").agg(F.count("*").alias("_nblocks"))
+    member = purged.join(counts, "_id")
+    left = member.select(
+        "_bkey", "_bsize",
+        F.col("_id").alias("id_l"), F.col("_nblocks").alias("_n_l"),
+    )
+    right = member.select(
+        "_bkey",
+        F.col("_id").alias("id_r"), F.col("_nblocks").alias("_n_r"),
+    )
+    pair_rows = (
+        left.join(right, "_bkey")
+        .where(F.col("id_l") < F.col("id_r"))
+    )
+    weighted = (
+        pair_rows.groupBy("id_l", "id_r")
+        .agg(
+            F.count("*").alias("cbs"),
+            F.sum(2.0 / (F.col("_bsize") * (F.col("_bsize") - F.lit(1)))).alias("arcs"),
+            F.max("_n_l").alias("_n_l"),
+            F.max("_n_r").alias("_n_r"),
+        )
+        .withColumn(
+            "js",
+            F.col("cbs") / (F.col("_n_l") + F.col("_n_r") - F.col("cbs")),
+        )
+        .select("id_l", "id_r", F.col("cbs").cast("long").alias("cbs"), "arcs", "js")
+    )
+    if prune_scheme is None:
+        return weighted
+    if prune_scheme not in ("cbs", "arcs", "js"):
+        raise ValueError(f"meta_block_pairs: unknown prune_scheme {prune_scheme!r}")
+    weighted = weighted.localCheckpoint(eager=False)
+    mean_w = weighted.agg(F.avg(prune_scheme).alias("_mean"))
+    return (
+        weighted.crossJoin(F.broadcast(mean_w))
+        .where(F.col(prune_scheme) >= F.col("_mean"))
+        .drop("_mean")
+    )

@@ -2767,6 +2767,189 @@ FROM j
 """
 
 
+def q_fellegi_sunter(spark, sf_dir):
+    """Fellegi–Sunter probabilistic linkage (1969; the Splink model):
+    sorted-neighborhood candidate pairs over customer (ordered by
+    account balance), 4 agreement fields (segment / nation / |Δbalance|
+    ≤ 1.0 / last name char), m/u/lambda fitted by 15 EM iterations over
+    the pattern contingency table, per-pair match weight = log2
+    likelihood ratio + posterior probability. Scale split: gammas and
+    weight assignment are JVM expressions; EM runs on the driver over
+    the ≤2^4-row collected pattern table; weights return via a
+    broadcast join (probabilistic.fellegi_sunter). The oracle replays
+    the IDENTICAL unrolled EM recurrence as 15 chained CTEs."""
+    from zentity_spark.blocking import sorted_neighborhood_pairs
+    from zentity_spark.probabilistic import fellegi_sunter
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pairs = sorted_neighborhood_pairs(
+        c.select("c_acctbal", "c_custkey"), "c_acctbal", "c_custkey", window=8
+    ).drop("dist")
+    attrs = c.select(
+        F.col("c_custkey").alias("_id"),
+        F.col("c_mktsegment").alias("_seg"),
+        F.col("c_nationkey").alias("_nat"),
+        F.col("c_acctbal").alias("_bal"),
+        F.substring(F.col("c_name"), -1, 1).alias("_last"),
+    )
+    g = (
+        pairs.join(attrs.select(
+            F.col("_id").alias("id_a"), F.col("_seg").alias("_seg_a"),
+            F.col("_nat").alias("_nat_a"), F.col("_bal").alias("_bal_a"),
+            F.col("_last").alias("_last_a")), "id_a")
+        .join(attrs.select(
+            F.col("_id").alias("id_b"), F.col("_seg").alias("_seg_b"),
+            F.col("_nat").alias("_nat_b"), F.col("_bal").alias("_bal_b"),
+            F.col("_last").alias("_last_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.when(F.col("_seg_a") == F.col("_seg_b"), 1).otherwise(0).alias("g_seg"),
+            F.when(F.col("_nat_a") == F.col("_nat_b"), 1).otherwise(0).alias("g_nat"),
+            F.when(F.abs(F.col("_bal_a") - F.col("_bal_b")) <= 1.0, 1)
+            .otherwise(0).alias("g_bal"),
+            F.when(F.col("_last_a") == F.col("_last_b"), 1).otherwise(0).alias("g_last"),
+        )
+    )
+    scored, _params = fellegi_sunter(
+        g, ["g_seg", "g_nat", "g_bal", "g_last"], n_iters=15
+    )
+    return scored.select(
+        "id_a", "id_b", "g_seg", "g_nat", "g_bal", "g_last",
+        "match_weight", "match_probability",
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_fellegi_sunter(n_iters: int = 15) -> str:
+    """Unrolled-CTE replay of probabilistic.em_fit — every product and
+    clamp in the same left-to-right order as the Python driver loop."""
+    gs = ["g_seg", "g_nat", "g_bal", "g_last"]
+    k = len(gs)
+
+    def prod(prefix: str, params: list[str], src: str = "c") -> str:
+        terms = [prefix]
+        for j in range(k):
+            terms.append(
+                f"CASE WHEN {src}.{gs[j]} = 1 THEN {params[j]} "
+                f"ELSE 1.0 - {params[j]} END"
+            )
+        return " * ".join(terms)
+
+    ms = [f"q.m{j+1}" for j in range(k)]
+    us = [f"q.u{j+1}" for j in range(k)]
+    ctes = [
+        "em0 AS (SELECT CAST(0.1 AS DOUBLE) AS lam, "
+        + ", ".join(f"CAST(0.9 AS DOUBLE) AS m{j+1}" for j in range(k)) + ", "
+        + ", ".join(f"CAST(0.1 AS DOUBLE) AS u{j+1}" for j in range(k)) + ")"
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""ee{i} AS (
+  SELECT c.*, {prod("q.lam", ms)} AS pm,
+         {prod("(1.0 - q.lam)", us)} AS pu
+  FROM cnt c CROSS JOIN em{i-1} q
+)""")
+        m_terms = ", ".join(
+            f"least(greatest(sum(cnt * post * {gs[j]}) / sum(cnt * post), 1e-6), 1.0 - 1e-6) AS m{j+1}"
+            for j in range(k)
+        )
+        u_terms = ", ".join(
+            f"least(greatest(sum(cnt * (1.0 - post) * {gs[j]}) / sum(cnt * (1.0 - post)), 1e-6), 1.0 - 1e-6) AS u{j+1}"
+            for j in range(k)
+        )
+        ctes.append(f"""em{i} AS (
+  SELECT least(greatest(sum(cnt * post) / sum(cnt), 1e-6), 1.0 - 1e-6) AS lam,
+         {m_terms}, {u_terms}
+  FROM (SELECT *, pm / (pm + pu) AS post FROM ee{i})
+)""")
+    weight = " + ".join(
+        ["log2(q.lam / (1.0 - q.lam))"]
+        + [
+            f"CASE WHEN c.{gs[j]} = 1 THEN log2({ms[j]} / {us[j]}) "
+            f"ELSE log2((1.0 - {ms[j]}) / (1.0 - {us[j]})) END"
+            for j in range(k)
+        ]
+    )
+    return f"""
+WITH r AS (
+  SELECT c_custkey AS id, c_mktsegment AS seg, c_nationkey AS nat,
+         c_acctbal AS bal, right(c_name, 1) AS lastc,
+         row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rnk
+  FROM customer
+), p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_seg,
+         CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END AS g_nat,
+         CASE WHEN abs(a.bal - b.bal) <= 1.0 THEN 1 ELSE 0 END AS g_bal,
+         CASE WHEN a.lastc = b.lastc THEN 1 ELSE 0 END AS g_last
+  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 7
+), cnt AS (
+  SELECT g_seg, g_nat, g_bal, g_last, CAST(count(*) AS DOUBLE) AS cnt
+  FROM p GROUP BY 1, 2, 3, 4
+), {", ".join(ctes)}
+SELECT c.id_a, c.id_b, c.g_seg, c.g_nat, c.g_bal, c.g_last,
+       {weight} AS match_weight,
+       ({prod("q.lam", ms)}) /
+       (({prod("q.lam", ms)}) + ({prod("(1.0 - q.lam)", us)}))
+         AS match_probability
+FROM p c CROSS JOIN em{n_iters} q
+ORDER BY id_a, id_b
+"""
+
+
+def q_meta_blocking(spark, sf_dir):
+    """Meta-blocking (Papadakis et al., TKDE 2013): word-5-gram token
+    blocking over documents (every shingle is a block), block purging
+    (2 ≤ |b| ≤ 50), CBS/ARCS/JS edge weighting folded in ONE pair
+    shuffle, and weight-edge pruning at the global mean JS weight
+    (blocking.meta_block_pairs). The refinement step that makes
+    token blocking viable at corpus scale."""
+    from zentity_spark.blocking import meta_block_pairs
+    from zentity_spark.extras import shingles
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blocks = d.select(
+        "doc_id", F.explode(shingles(F.col("text"), k=5)).alias("gram")
+    )
+    return meta_block_pairs(
+        blocks, key_col="gram", id_col="doc_id",
+        max_block_size=50, prune_scheme="js",
+    ).orderBy("id_l", "id_r")
+
+
+SQL_META_BLOCKING = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 5 THEN
+           list_distinct(list_transform(generate_series(1, len(words) - 4),
+                          i -> array_to_string(words[i:i+4], ' ')))
+         ELSE [array_to_string(words, ' ')] END AS grams
+  FROM w
+), b AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), sz AS (
+  SELECT gram, count(*) AS bsize FROM b GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND 50
+), pb AS (
+  SELECT b.doc_id, b.gram, sz.bsize FROM b JOIN sz USING (gram)
+), cnts AS (
+  SELECT doc_id, count(*) AS nb FROM pb GROUP BY 1
+), m AS (
+  SELECT pb.doc_id, pb.gram, pb.bsize, cnts.nb FROM pb JOIN cnts USING (doc_id)
+), wgt AS (
+  SELECT a.doc_id AS id_l, x.doc_id AS id_r,
+         CAST(count(*) AS BIGINT) AS cbs,
+         sum(2.0 / (a.bsize * (a.bsize - 1))) AS arcs,
+         CAST(count(*) AS DOUBLE) / (max(a.nb) + max(x.nb) - count(*)) AS js
+  FROM m a JOIN m x ON a.gram = x.gram AND a.doc_id < x.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_l, id_r, cbs, arcs, js FROM wgt
+WHERE js >= (SELECT avg(js) FROM wgt)
+ORDER BY id_l, id_r
+"""
+
+
 # ----------------------------------------------------------------------
 # Registry
 
@@ -2832,6 +3015,8 @@ def all_queries():
         "substring_spans": q_substring_spans,
         "substring_dedup": q_substring_dedup,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "fellegi_sunter": q_fellegi_sunter,
+        "meta_blocking": q_meta_blocking,
         "bcubed_lsh": q_bcubed_lsh,
         "cluster_eval": q_cluster_eval,
         "pricing_summary": q_pricing_summary,
@@ -2902,6 +3087,8 @@ def all_oracles():
         "substring_spans": _sql_substring_spans(),
         "substring_dedup": _sql_substring_dedup(),
         "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
+        "fellegi_sunter": _sql_fellegi_sunter(),
+        "meta_blocking": SQL_META_BLOCKING,
         "bcubed_lsh": _sql_bcubed_lsh(),
         "cluster_eval": _sql_cluster_eval(),
         "pricing_summary": SQL_PRICING_SUMMARY,
