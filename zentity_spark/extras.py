@@ -784,16 +784,37 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
 
 
 def _ivf_cid_expr(cents: list[tuple[int, list[float]]]) -> Column:
-    best = F.array_max(
-        F.array(*[
-            F.struct(
-                _centroid_cos(F.col("embedding"), vec).alias("cos"),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, vec in cents
-        ])
-    )
-    return (-best["ncid"]).alias("cid")
+    """Nearest-centroid id over the `embedding` column, as ONE
+    Arrow-batched matmul against the (model-sized) codebook matrix.
+
+    Semantics are identical to the previous inline-literal argmax
+    (PLANS.md rule 11's losing side): cosine rounded to 6dp BEFORE the
+    argmax, ties broken by lowest centroid id (rows sorted by cid, and
+    np.argmax takes the first maximum). The inline expression inlined
+    n_centroids × dim literals into one Catalyst tree; analysis +
+    codegen on that tree dominated the whole IVF search (~15s for 500
+    vectors at sf0.01 — the compute itself is microseconds). The
+    pandas UDF stays map-only (ArrowEvalPython, no Exchange — plan
+    asserted in test_ann_ivf) and the codebook rides in the closure,
+    the same broadcast-sized state as before."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = sorted(cents)
+    cids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    mat = np.array([vec for _, vec in ordered], dtype=np.float64)
+    cnorm = np.sqrt((mat * mat).sum(axis=1))
+
+    def _assign(emb):
+        if emb.empty:
+            return pd.Series([], dtype="int32")
+        e = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        enorm = np.sqrt((e * e).sum(axis=1))
+        cos = np.round((e @ mat.T) / (enorm[:, None] * cnorm[None, :]), 6)
+        return pd.Series(cids[np.argmax(cos, axis=1)], dtype="int32")
+
+    return pandas_udf(_assign, "int")(F.col("embedding")).alias("cid")
 
 
 def ivf_assign(embeddings: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
