@@ -229,6 +229,53 @@ def global_rank(df: DataFrame, sort_cols: list[str],
     )
 
 
+def global_cumsum(df: DataFrame, sort_cols: list[str],
+                  sum_cols: list[str], prefix: str = "cum_") -> DataFrame:
+    """Global running totals of `sum_cols` in `sort_cols` order WITHOUT
+    a single-partition window — the cumulative-sum sibling of
+    global_rank, same two-pass shape: range-partition on the sort
+    columns (partition i holds keys strictly below partition i+1),
+    windowed cumsum within each partition, then shift each partition by
+    the preceding partitions' column totals. The offsets table is
+    O(#partitions × #columns), collected once and rebroadcast. Each
+    output row's `{prefix}{col}` includes its OWN row (inclusive
+    running total), exactly matching `SUM(col) OVER (ORDER BY ...)`
+    with the default RANGE frame when `sort_cols` is a total order."""
+    parted = df.repartitionByRange(*[F.col(c) for c in sort_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parted = parted.localCheckpoint(eager=True)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in sort_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted
+    for c in sum_cols:
+        local = local.withColumn(f"{prefix}{c}", F.sum(F.col(c)).over(w))
+    totals = sorted(
+        (r["_pid"], tuple(r[f"_t_{c}"] for c in sum_cols))
+        for r in parted.groupBy("_pid")
+        .agg(*[F.sum(F.col(c)).alias(f"_t_{c}") for c in sum_cols])
+        .collect()
+    )
+    offsets, acc = [], [0] * len(sum_cols)
+    for pid, ts in totals:
+        offsets.append((int(pid),) + tuple(int(a) for a in acc))
+        acc = [a + (t or 0) for a, t in zip(acc, ts)]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets,
+        "_pid int, " + ", ".join(f"_off_{c} long" for c in sum_cols),
+    )
+    out = local.join(F.broadcast(off_df), "_pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{prefix}{c}", F.col(f"{prefix}{c}") + F.col(f"_off_{c}")
+        ).drop(f"_off_{c}")
+    return out.drop("_pid")
+
+
 def sorted_neighborhood_pairs(records: DataFrame, key_col: str,
                               id_col: str, window: int = 5) -> DataFrame:
     """Sorted-neighborhood candidate generation (Hernández & Stolfo

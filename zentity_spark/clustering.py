@@ -397,3 +397,120 @@ def pairwise_cluster_metrics(pred: DataFrame, gold: DataFrame,
         F.when(denom == 0, F.lit(1.0))
          .otherwise((F.col("tp") - exp_idx) / denom).alias("ari"),
     )
+
+
+def threshold_sweep(scored: DataFrame, score_col: str,
+                    label_col: str) -> DataFrame:
+    """Precision/recall/F1 at EVERY distinct score threshold in one
+    pass (the ROC/PR sweep Splink plots as roc_chart; predict positive
+    when score >= threshold).
+
+    Shape: one groupBy(score) collapses the pair table to at most
+    |distinct scores| rows carrying (positives, negatives) at that
+    score, then ONE descending cumulative sum over that score-keyed
+    table (global_cumsum — range-partitioned two-pass, no
+    single-partition window) yields TP/FP at every threshold
+    simultaneously; total positives arrive as an O(1) broadcast. At
+    100 TB the sweep table is bounded by the score vocabulary (scores
+    are rounded/bucketed upstream, e.g. the 6dp convention all scoring
+    here uses), never by the pair count.
+
+    Returns (threshold, tp, fp, fn, precision, recall, f1) rounded to
+    6dp, one row per distinct score, highest threshold first.
+    """
+    from zentity_spark.blocking import global_cumsum
+
+    lbl = F.col(label_col).cast("int")
+    g = (
+        scored.groupBy(F.col(score_col).alias("threshold"))
+        .agg(
+            F.sum(lbl).alias("_pos"),
+            F.sum(1 - lbl).alias("_neg"),
+        )
+        .withColumn("_negthr", -F.col("threshold"))
+    )
+    c = global_cumsum(g, ["_negthr"], ["_pos", "_neg"])
+    totals = scored.agg(F.sum(lbl).alias("_tot_pos"))
+    prec = F.col("tp") / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp") / F.col("_tot_pos")
+    return (
+        c.crossJoin(F.broadcast(totals))
+        .select(
+            "threshold",
+            F.col("cum__pos").alias("tp"),
+            F.col("cum__neg").alias("fp"),
+            (F.col("_tot_pos") - F.col("cum__pos")).alias("fn"),
+            "_tot_pos",
+        )
+        .select(
+            "threshold", "tp", "fp", "fn",
+            F.round(prec, 6).alias("precision"),
+            F.round(rec, 6).alias("recall"),
+            F.round(
+                F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
+                .otherwise(F.lit(0.0)), 6
+            ).alias("f1"),
+        )
+        .orderBy(F.desc("threshold"))
+    )
+
+
+def cluster_graph_metrics(assign: DataFrame, edges: DataFrame,
+                          weight_col: str | None = None) -> DataFrame:
+    """Per-cluster graph diagnostics (Splink's cluster metrics; the
+    standard ER review surface): node count, intra-cluster edge count,
+    density = 2E / (n·(n-1)), and — when `weight_col` is given — the
+    min/avg edge weight. Low-density or low-min-weight clusters are
+    exactly the ones a reviewer should audit (a single weak bridge edge
+    gluing two real entities).
+
+    assign: (record_id, cluster_id); edges: (src, dst [, weight]) with
+    src != dst, each undirected edge once. Edges are mapped to clusters
+    by TWO id-keyed joins (skinny: id + cluster only) and kept when
+    both endpoints land in the same cluster; one groupBy(cluster_id)
+    folds nodes and edges together via a unioned tagged table, so the
+    whole metric set costs two hash joins + one aggregation regardless
+    of cluster count. Returns (cluster_id, n_nodes, n_edges, density
+    [, min_weight, avg_weight]) — singleton clusters report density
+    0.0 (no possible pairs).
+    """
+    a = assign.select(F.col("record_id").alias("_id"),
+                      F.col("cluster_id").alias("_cid"))
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(None).cast("double")
+    e = edges.select(F.col("src").alias("_src"), F.col("dst").alias("_dst"),
+                     w.alias("_w"))
+    intra = (
+        e.join(a.select(F.col("_id").alias("_src"),
+                        F.col("_cid").alias("_cid_s")), "_src")
+        .join(a.select(F.col("_id").alias("_dst"),
+                       F.col("_cid").alias("_cid_d")), "_dst")
+        .where(F.col("_cid_s") == F.col("_cid_d"))
+        .select(F.col("_cid_s").alias("_cid"), F.lit(0).alias("_is_node"),
+                F.col("_w"))
+    )
+    nodes = a.select("_cid", F.lit(1).alias("_is_node"),
+                     F.lit(None).cast("double").alias("_w"))
+    agg = (
+        nodes.unionAll(intra)
+        .groupBy("_cid")
+        .agg(
+            F.sum("_is_node").alias("n_nodes"),
+            F.sum(1 - F.col("_is_node")).alias("n_edges"),
+            F.min("_w").alias("min_weight"),
+            F.round(F.avg("_w"), 6).alias("avg_weight"),
+        )
+    )
+    out = agg.select(
+        F.col("_cid").alias("cluster_id"),
+        "n_nodes", "n_edges",
+        F.round(
+            F.when(F.col("n_nodes") > 1,
+                   2.0 * F.col("n_edges")
+                   / (F.col("n_nodes") * (F.col("n_nodes") - 1)))
+            .otherwise(F.lit(0.0)), 6
+        ).alias("density"),
+        "min_weight", "avg_weight",
+    )
+    if weight_col is None:
+        out = out.drop("min_weight", "avg_weight")
+    return out

@@ -2895,6 +2895,243 @@ ORDER BY id_a, id_b
 """
 
 
+def q_fs_tf_adjustment(spark, sf_dir):
+    """Term-frequency-adjusted agreement weights (Winkler 1989; Splink
+    term_frequency_adjustments): sorted-neighborhood customer pairs,
+    field = market segment, fixed m=0.9/u=0.2, tf over the customer
+    records population. Agreement on a RARE segment outweighs agreement
+    on a common one; disagreement keeps the generic weight
+    (probabilistic.term_frequency_adjustment)."""
+    from zentity_spark.blocking import sorted_neighborhood_pairs
+    from zentity_spark.probabilistic import term_frequency_adjustment
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pairs = sorted_neighborhood_pairs(
+        c.select("c_acctbal", "c_custkey"), "c_acctbal", "c_custkey", window=8
+    ).drop("dist")
+    seg = c.select(F.col("c_custkey").alias("_id"),
+                   F.col("c_mktsegment").alias("_seg"))
+    p = (
+        pairs.join(seg.select(F.col("_id").alias("id_a"),
+                              F.col("_seg").alias("seg_a")), "id_a")
+        .join(seg.select(F.col("_id").alias("id_b"),
+                         F.col("_seg").alias("seg_b")), "id_b")
+    )
+    return (
+        term_frequency_adjustment(
+            p, "seg_a", "seg_b", m_k=0.9, u_k=0.2,
+            tf_source=c, tf_col="c_mktsegment",
+        )
+        .select("id_a", "id_b", "agree", "tf", "base_weight", "tf_adj_weight")
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_FS_TF_ADJUSTMENT = """
+WITH r AS (
+  SELECT c_custkey AS id, c_mktsegment AS seg,
+         row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rnk
+  FROM customer
+), p AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.seg AS seg_a, b.seg AS seg_b
+  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 7
+), tf AS (
+  SELECT c_mktsegment AS v,
+         greatest(CAST(count(*) AS DOUBLE)
+                  / (SELECT count(*) FROM customer), 1e-6) AS tfv
+  FROM customer GROUP BY 1
+)
+SELECT id_a, id_b,
+       CASE WHEN seg_a = seg_b THEN 1 ELSE 0 END AS agree,
+       CASE WHEN seg_a = seg_b THEN round(tfv, 6) END AS tf,
+       round(CASE WHEN seg_a = seg_b THEN log2(0.9 / 0.2)
+                  ELSE log2((1.0 - 0.9) / (1.0 - 0.2)) END, 6) AS base_weight,
+       round(CASE WHEN seg_a = seg_b THEN log2(0.9 / tfv)
+                  ELSE log2((1.0 - 0.9) / (1.0 - 0.2)) END, 6) AS tf_adj_weight
+FROM p JOIN tf ON p.seg_a = tf.v
+ORDER BY id_a, id_b
+"""
+
+
+def q_threshold_sweep(spark, sf_dir):
+    """One-pass P/R/F1 sweep over every distinct score threshold
+    (clustering.threshold_sweep — Splink's roc_chart surface): scores =
+    balance-proximity of sorted-neighborhood customer pairs, labels =
+    segment equality. The cumulative TP/FP runs through the
+    range-partitioned two-pass global_cumsum, never a single-partition
+    window."""
+    from zentity_spark.blocking import sorted_neighborhood_pairs
+    from zentity_spark.clustering import threshold_sweep
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pairs = sorted_neighborhood_pairs(
+        c.select("c_acctbal", "c_custkey"), "c_acctbal", "c_custkey", window=8
+    ).drop("dist")
+    attrs = c.select(F.col("c_custkey").alias("_id"),
+                     F.col("c_mktsegment").alias("_seg"),
+                     F.col("c_acctbal").alias("_bal"))
+    scored = (
+        pairs.join(attrs.select(F.col("_id").alias("id_a"),
+                                F.col("_seg").alias("seg_a"),
+                                F.col("_bal").alias("bal_a")), "id_a")
+        .join(attrs.select(F.col("_id").alias("id_b"),
+                           F.col("_seg").alias("seg_b"),
+                           F.col("_bal").alias("bal_b")), "id_b")
+        .select(
+            F.round(1.0 / (1.0 + F.abs(F.col("bal_a") - F.col("bal_b"))), 6)
+            .alias("score"),
+            (F.col("seg_a") == F.col("seg_b")).cast("int").alias("label"),
+        )
+    )
+    return threshold_sweep(scored, "score", "label")
+
+
+SQL_THRESHOLD_SWEEP = """
+WITH r AS (
+  SELECT c_custkey AS id, c_mktsegment AS seg, c_acctbal AS bal,
+         row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rnk
+  FROM customer
+), p AS (
+  SELECT round(1.0 / (1.0 + abs(a.bal - b.bal)), 6) AS score,
+         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS label
+  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 7
+), g AS (
+  SELECT score AS threshold,
+         CAST(sum(label) AS BIGINT) AS pos,
+         CAST(sum(1 - label) AS BIGINT) AS neg
+  FROM p GROUP BY 1
+), c AS (
+  SELECT threshold,
+         CAST(sum(pos) OVER (ORDER BY threshold DESC) AS BIGINT) AS tp,
+         CAST(sum(neg) OVER (ORDER BY threshold DESC) AS BIGINT) AS fp
+  FROM g
+), t AS (SELECT CAST(sum(label) AS BIGINT) AS tot FROM p)
+SELECT threshold, tp, fp, tot - tp AS fn,
+       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+       round(CAST(tp AS DOUBLE) / tot, 6) AS recall,
+       round(CASE WHEN CAST(tp AS DOUBLE) / (tp + fp)
+                       + CAST(tp AS DOUBLE) / tot > 0
+                  THEN 2 * (CAST(tp AS DOUBLE) / (tp + fp))
+                         * (CAST(tp AS DOUBLE) / tot)
+                       / (CAST(tp AS DOUBLE) / (tp + fp)
+                          + CAST(tp AS DOUBLE) / tot)
+                  ELSE 0.0 END, 6) AS f1
+FROM c CROSS JOIN t
+ORDER BY threshold DESC
+"""
+
+
+def q_cluster_graph_metrics(spark, sf_dir):
+    """Per-cluster graph diagnostics over the connected-components
+    output (clustering.cluster_graph_metrics — the ER review surface:
+    a low-density cluster is one weak bridge away from over-merging):
+    node count, intra-cluster edge count, density, over the same
+    order–part bipartite subgraph as the CC contract query."""
+    from zentity_spark.clustering import (cluster_graph_metrics,
+                                          connected_components)
+
+    edges = _cc_edges(spark, sf_dir)
+    assign = connected_components(edges)
+    return cluster_graph_metrics(assign, edges).orderBy("cluster_id")
+
+
+SQL_CLUSTER_GRAPH_METRICS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem WHERE l_partkey < 40
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT sym.src, reach.r FROM sym JOIN reach ON sym.dst = reach.node
+), assign AS (
+  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+), n AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM assign GROUP BY 1
+), m AS (
+  SELECT a.cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+  FROM e JOIN assign a ON e.src = a.node
+         JOIN assign b ON e.dst = b.node
+  WHERE a.cluster_id = b.cluster_id
+  GROUP BY 1
+)
+SELECT n.cluster_id, n.n_nodes,
+       coalesce(m.n_edges, 0) AS n_edges,
+       round(CASE WHEN n.n_nodes > 1
+                  THEN 2.0 * coalesce(m.n_edges, 0)
+                       / (n.n_nodes * (n.n_nodes - 1))
+                  ELSE 0.0 END, 6) AS density
+FROM n LEFT JOIN m ON n.cluster_id = m.cluster_id
+ORDER BY n.cluster_id
+"""
+
+
+def q_golden_record(spark, sf_dir):
+    """Golden-record survivorship over clusters (fusion.golden_records;
+    Bleiholder & Naumann 2008): one canonical row per customer over
+    their orders — modal order status, longest priority string, max
+    total price, and the key of the NEWEST order (by order date)."""
+    from zentity_spark.fusion import golden_records
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        golden_records(
+            o, "o_custkey",
+            {
+                "o_orderstatus": "most_frequent",
+                "o_orderpriority": "longest",
+                "o_totalprice": "max",
+                "o_orderkey": "newest",
+            },
+            ts_col="o_orderdate",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+SQL_GOLDEN_RECORD = """
+WITH freq AS (
+  SELECT o_custkey AS cluster_id, o_orderstatus AS v, count(*) AS c
+  FROM orders GROUP BY 1, 2
+), modal AS (
+  SELECT cluster_id, v AS o_orderstatus
+  FROM (SELECT cluster_id, v,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY c DESC, v ASC) AS rn
+        FROM freq)
+  WHERE rn = 1
+), lng AS (
+  SELECT cluster_id, v AS o_orderpriority
+  FROM (SELECT o_custkey AS cluster_id, o_orderpriority AS v,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY length(o_orderpriority) DESC,
+                                           o_orderpriority ASC) AS rn
+        FROM orders)
+  WHERE rn = 1
+), newest AS (
+  SELECT cluster_id, v AS o_orderkey
+  FROM (SELECT o_custkey AS cluster_id, o_orderkey AS v,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC,
+                                           o_orderkey DESC) AS rn
+        FROM orders)
+  WHERE rn = 1
+), mx AS (
+  SELECT o_custkey AS cluster_id, max(o_totalprice) AS o_totalprice
+  FROM orders GROUP BY 1
+)
+SELECT mx.cluster_id, modal.o_orderstatus, lng.o_orderpriority,
+       mx.o_totalprice, newest.o_orderkey
+FROM mx JOIN modal USING (cluster_id)
+        JOIN lng USING (cluster_id)
+        JOIN newest USING (cluster_id)
+ORDER BY cluster_id
+"""
+
+
 def q_meta_blocking(spark, sf_dir):
     """Meta-blocking (Papadakis et al., TKDE 2013): word-5-gram token
     blocking over documents (every shingle is a block), block purging
@@ -3016,6 +3253,10 @@ def all_queries():
         "substring_dedup": q_substring_dedup,
         "sorted_neighborhood": q_sorted_neighborhood,
         "fellegi_sunter": q_fellegi_sunter,
+        "fs_tf_adjustment": q_fs_tf_adjustment,
+        "threshold_sweep": q_threshold_sweep,
+        "cluster_graph_metrics": q_cluster_graph_metrics,
+        "golden_record": q_golden_record,
         "meta_blocking": q_meta_blocking,
         "bcubed_lsh": q_bcubed_lsh,
         "cluster_eval": q_cluster_eval,
@@ -3088,6 +3329,10 @@ def all_oracles():
         "substring_dedup": _sql_substring_dedup(),
         "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
         "fellegi_sunter": _sql_fellegi_sunter(),
+        "fs_tf_adjustment": SQL_FS_TF_ADJUSTMENT,
+        "threshold_sweep": SQL_THRESHOLD_SWEEP,
+        "cluster_graph_metrics": SQL_CLUSTER_GRAPH_METRICS,
+        "golden_record": SQL_GOLDEN_RECORD,
         "meta_blocking": SQL_META_BLOCKING,
         "bcubed_lsh": _sql_bcubed_lsh(),
         "cluster_eval": _sql_cluster_eval(),

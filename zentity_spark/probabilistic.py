@@ -112,6 +112,65 @@ def pattern_weights(lam: float, m: list, u: list):
     return out
 
 
+def term_frequency_adjustment(pairs: DataFrame, val_a: str, val_b: str,
+                              m_k: float, u_k: float,
+                              tf_source: DataFrame | None = None,
+                              tf_col: str | None = None) -> DataFrame:
+    """Term-frequency-adjusted agreement weights (the standard FS
+    refinement popularized by Splink's term_frequency_adjustments;
+    Winkler 1989's value-specific u-probabilities).
+
+    A generic u_k = P(agree_k | non-match) treats agreement on "JOHN"
+    and on "ZEBEDIAH" as equal evidence, but the chance two NON-matching
+    records agree on value v is ≈ the relative frequency tf(v) of v in
+    the population. For an agreeing pair on value v the adjusted
+    agreement weight is therefore log2(m_k / tf(v)) — rarer values carry
+    MORE evidence; disagreeing pairs keep the generic
+    log2((1-m_k)/(1-u_k)).
+
+    pairs must carry the two sides' field values as columns `val_a`,
+    `val_b` (NULL-safe equality decides agreement). tf(v) comes from
+    `tf_source[tf_col]` when given (the RECORDS population — Splink's
+    convention), else from the pair sides unioned. Either way it's one
+    value-keyed aggregation bounded by the vocabulary, joined back by
+    value: no per-row Python, no extra shuffle beyond the tf groupBy +
+    one hash join on the (small, broadcastable) frequency table.
+
+    Returns pairs + (agree int, tf double, base_weight double,
+    tf_adj_weight double), weights rounded to 6dp so the arithmetic is
+    engine-portable (same convention as the cosine oracles)."""
+    if tf_source is not None:
+        vals = tf_source.select(F.col(tf_col).alias("_v"))
+    else:
+        vals = pairs.select(F.col(val_a).alias("_v")).unionAll(
+            pairs.select(F.col(val_b).alias("_v"))
+        )
+    tf = (
+        vals.groupBy("_v")
+        .agg(F.count("*").alias("_c"))
+        .crossJoin(F.broadcast(vals.agg(F.count("*").alias("_n"))))
+        .select(
+            "_v",
+            F.greatest(F.col("_c") / F.col("_n"), F.lit(EPS)).alias("_tf"),
+        )
+    )
+    agree = F.col(val_a).eqNullSafe(F.col(val_b))
+    base_w = F.when(
+        agree, F.lit(math.log2(m_k / u_k))
+    ).otherwise(F.lit(math.log2((1.0 - m_k) / (1.0 - u_k))))
+    adj_w = F.when(
+        agree, F.log2(F.lit(float(m_k)) / F.col("_tf"))
+    ).otherwise(F.lit(math.log2((1.0 - m_k) / (1.0 - u_k))))
+    return (
+        pairs.join(F.broadcast(tf), pairs[val_a] == tf["_v"], "left")
+        .withColumn("agree", agree.cast("int"))
+        .withColumn("tf", F.when(agree, F.round(F.col("_tf"), 6)))
+        .withColumn("base_weight", F.round(base_w, 6))
+        .withColumn("tf_adj_weight", F.round(adj_w, 6))
+        .drop("_v", "_tf")
+    )
+
+
 def fellegi_sunter(pairs: DataFrame, gamma_cols: list[str],
                    n_iters: int = 15, lam0: float = 0.1,
                    m0: float = 0.9, u0: float = 0.1):
