@@ -514,3 +514,157 @@ def cluster_graph_metrics(assign: DataFrame, edges: DataFrame,
     if weight_col is None:
         out = out.drop("min_weight", "avg_weight")
     return out
+
+
+def stable_entity_ids(prev: DataFrame, curr: DataFrame) -> DataFrame:
+    """Persistent entity keys across re-resolution runs.
+
+    The reference resolves one entity per request, so its callers key
+    entities by the request; a batch engine re-resolving the whole
+    corpus needs the OPPOSITE guarantee: an entity that survives from
+    run to run keeps its id even though connected components re-derives
+    cluster labels from scratch. This is the standard "entity id
+    crosswalk" every production linkage system maintains (Splink calls
+    it cluster stability; MDM products call it persistent entity keys).
+
+    prev: (record_id, entity_id) — last run's assignment.
+    curr: (record_id, cluster_id) — this run's CC output.
+
+    Greedy max-overlap matching, deterministic: each current cluster
+    nominates the prior entity_id the plurality of its members carried
+    (ties → smaller entity_id); each prior entity then awards its id to
+    the nominating cluster with the LARGEST overlap (ties → smaller
+    cluster_id), so a split entity keeps its id on the bigger half and
+    the other half mints a fresh id. Clusters of entirely-new records,
+    and split losers, mint `new:<cluster_id>` (cluster_id is already
+    the min record_id — deterministic). Both argmax passes are
+    window-free: groupBy + min over an encoded (count, key) struct, so
+    nothing materializes a per-key sort at 100 TB.
+
+    Returns (cluster_id, entity_id, overlap, is_new) — one row per
+    current cluster.
+    """
+    ov = (
+        curr.join(prev, "record_id")
+        .groupBy("cluster_id", "entity_id")
+        .agg(F.count("*").alias("overlap"))
+    )
+    # argmax per cluster: max (overlap, rev-entity) struct == max
+    # overlap with ties broken toward the SMALLER entity_id, done by
+    # min over (neg overlap, entity_id)
+    nominee = (
+        ov.groupBy("cluster_id")
+        .agg(F.min(F.struct((-F.col("overlap")).alias("n"),
+                            F.col("entity_id").alias("e"))).alias("_m"))
+        .select("cluster_id", F.col("_m.e").alias("entity_id"),
+                (-F.col("_m.n")).alias("overlap"))
+    )
+    # argmax per entity over the nominating clusters
+    winner = (
+        nominee.groupBy("entity_id")
+        .agg(F.min(F.struct((-F.col("overlap")).alias("n"),
+                            F.col("cluster_id").alias("c"))).alias("_m"))
+        .select(F.col("_m.c").alias("cluster_id"),
+                F.col("entity_id").alias("_won"))
+    )
+    kept = nominee.join(winner,
+                        ["cluster_id"], "left").where(
+        F.col("_won").isNotNull() & (F.col("_won") == F.col("entity_id"))
+    ).select("cluster_id", "entity_id", "overlap")
+    all_clusters = curr.select("cluster_id").distinct()
+    return (
+        all_clusters.join(kept, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce(F.col("entity_id"),
+                       F.concat(F.lit("new:"), F.col("cluster_id"))
+                       ).alias("entity_id"),
+            F.coalesce(F.col("overlap"), F.lit(0)).alias("overlap"),
+            F.col("entity_id").isNull().alias("is_new"),
+        )
+    )
+
+
+def clerical_review_queue(scored: DataFrame, score_col: str,
+                          threshold: float, band: float,
+                          id_cols: tuple[str, str] = ("src", "dst"),
+                          per_block: int | None = None,
+                          block_col: str | None = None) -> DataFrame:
+    """Pairs near the decision threshold, ranked for human review.
+
+    Fellegi-Sunter's third region: pairs whose score falls inside
+    [threshold - band, threshold + band] are neither auto-link nor
+    auto-reject — they go to clerical review. Rank = distance from the
+    threshold (closest first; ties → (src, dst) ascending) computed by
+    the distributed two-pass global rank (blocking.global_rank), NOT a
+    single-partition window. With `per_block`/`block_col`, the queue is
+    additionally capped per block (deterministic min-struct top-k per
+    key) so one pathological block cannot flood the reviewers.
+
+    Returns (src, dst, score, distance, review_rank).
+    """
+    from zentity_spark.blocking import global_rank
+
+    s, d = id_cols
+    q = (
+        scored.where(
+            (F.col(score_col) >= threshold - band)
+            & (F.col(score_col) <= threshold + band))
+        .select(F.col(s).alias("src"), F.col(d).alias("dst"),
+                F.col(score_col).cast("double").alias("score"))
+        .withColumn("distance",
+                    F.round(F.abs(F.col("score") - F.lit(threshold)), 6))
+    )
+    if per_block is not None and block_col is not None:
+        b = scored.select(F.col(s).alias("src"), F.col(d).alias("dst"),
+                          F.col(block_col).alias("_blk"))
+        q = (
+            q.join(b, ["src", "dst"])
+            .groupBy("_blk")
+            .agg(F.slice(F.sort_array(F.collect_list(F.struct(
+                "distance", "src", "dst", "score"))), 1, per_block)
+                .alias("_top"))
+            .select(F.explode("_top").alias("_t"))
+            .select("_t.src", "_t.dst", "_t.score", "_t.distance")
+        )
+    ranked = global_rank(q, ["distance", "src", "dst"])
+    return ranked.select("src", "dst", "score", "distance",
+                         F.col("rank").alias("review_rank"))
+
+
+def inferred_pairs(assign: DataFrame, edges: DataFrame,
+                   max_cluster_size: int = 1000) -> DataFrame:
+    """Transitivity audit: member pairs implied by cluster co-membership
+    that were NEVER verified as an edge — exactly the links created
+    only by transitive closure. The reference's hop loop makes these
+    implicitly (every doc in the accumulated set is "the entity", even
+    when doc A and doc C share no resolver — they both matched B); a
+    reviewer auditing over-merge wants them listed.
+
+    Scale guard: within-cluster pair count is Σ n_i·(n_i-1)/2, so
+    clusters above `max_cluster_size` are excluded up front (they'd
+    dominate the quadratic blowup) — excluded clusters are the caller's
+    signal that the graph needs a higher threshold, and they are cheap
+    to find via cluster_graph_metrics. The self-join runs on the skinny
+    (record_id, cluster_id) projection; verified edges are removed with
+    one canonicalized (lo, hi) anti-join.
+
+    Returns (cluster_id, src, dst) with src < dst, verified edges
+    removed.
+    """
+    sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("_n"))
+    ok = sizes.where((F.col("_n") > 1) & (F.col("_n") <= max_cluster_size))
+    a = assign.join(ok.select("cluster_id"), "cluster_id").select(
+        "cluster_id", "record_id")
+    pairs = (
+        a.alias("x").join(a.alias("y"), "cluster_id")
+        .where(F.col("x.record_id") < F.col("y.record_id"))
+        .select("cluster_id",
+                F.col("x.record_id").alias("src"),
+                F.col("y.record_id").alias("dst"))
+    )
+    canon = edges.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+    ).distinct()
+    return pairs.join(canon, ["src", "dst"], "left_anti")
