@@ -3187,6 +3187,171 @@ ORDER BY id_l, id_r
 """
 
 
+def q_stable_entity_ids(spark, sf_dir):
+    """Persistent entity-id crosswalk across two resolution runs
+    (clustering.stable_entity_ids). The reference keys entities by the
+    request (one entity per ResolutionAction call); a batch engine
+    re-deriving cluster labels each run must carry ids forward
+    explicitly. prev = CC over the reduced edge set (l_partkey < 30,
+    "last run"), curr = CC over the full set (< 40, "this run after
+    new links arrived") — real splits and merges, deterministic."""
+    from zentity_spark.clustering import (connected_components,
+                                          stable_entity_ids)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    reduced = li.where(F.col("l_partkey") < 30).select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    prev = connected_components(reduced).select(
+        "record_id", F.concat(F.lit("E"), F.col("cluster_id")).alias("entity_id")
+    )
+    curr = connected_components(_cc_edges(spark, sf_dir))
+    return stable_entity_ids(prev, curr).orderBy("cluster_id")
+
+
+def _sql_cc(k: int, name: str) -> str:
+    """Recursive-CTE connected components over the order–part subgraph
+    with l_partkey < k, as CTE `name`(node, cluster_id)."""
+    return f"""e_{name} AS (
+  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem WHERE l_partkey < {k}
+), sym_{name} AS (
+  SELECT src, dst FROM e_{name} UNION SELECT dst, src FROM e_{name}
+), reach_{name}(node, r) AS (
+  SELECT src, src FROM sym_{name}
+  UNION
+  SELECT s.src, reach_{name}.r
+  FROM sym_{name} s JOIN reach_{name} ON s.dst = reach_{name}.node
+), {name} AS (
+  SELECT node, min(r) AS cluster_id FROM reach_{name} GROUP BY node
+)"""
+
+
+SQL_STABLE_ENTITY_IDS = f"""
+WITH RECURSIVE {_sql_cc(30, "prevcc")}, {_sql_cc(40, "currcc")},
+prev AS (SELECT node AS record_id, 'E' || cluster_id AS entity_id FROM prevcc),
+curr AS (SELECT node AS record_id, cluster_id FROM currcc),
+ov AS (
+  SELECT c.cluster_id, p.entity_id, CAST(count(*) AS BIGINT) AS overlap
+  FROM curr c JOIN prev p USING (record_id) GROUP BY 1, 2
+), nominee AS (
+  SELECT cluster_id, entity_id, overlap
+  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY overlap DESC, entity_id) AS rn FROM ov)
+  WHERE rn = 1
+), kept AS (
+  SELECT cluster_id, entity_id, overlap
+  FROM (SELECT *, row_number() OVER (PARTITION BY entity_id
+                  ORDER BY overlap DESC, cluster_id) AS rn FROM nominee)
+  WHERE rn = 1
+)
+SELECT a.cluster_id,
+       coalesce(k.entity_id, 'new:' || a.cluster_id) AS entity_id,
+       CAST(coalesce(k.overlap, 0) AS BIGINT) AS overlap,
+       k.entity_id IS NULL AS is_new
+FROM (SELECT DISTINCT cluster_id FROM curr) a
+LEFT JOIN kept k ON a.cluster_id = k.cluster_id
+ORDER BY a.cluster_id
+"""
+
+
+def q_clerical_review_queue(spark, sf_dir):
+    """Fellegi-Sunter's third region as a ranked work queue
+    (clustering.clerical_review_queue): sorted-neighborhood customer
+    pairs scored by balance proximity; pairs within ±0.125 of the 0.25
+    link threshold (both endpoints exactly representable in binary, so
+    the band edge is oracle-stable), ranked by distance from it
+    (closest first, ties by pair id) via the two-pass distributed
+    global rank."""
+    from zentity_spark.blocking import sorted_neighborhood_pairs
+    from zentity_spark.clustering import clerical_review_queue
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pairs = sorted_neighborhood_pairs(
+        c.select("c_acctbal", "c_custkey"), "c_acctbal", "c_custkey", window=8
+    ).drop("dist")
+    bal = c.select(F.col("c_custkey").alias("_id"),
+                   F.col("c_acctbal").alias("_bal"))
+    scored = (
+        pairs.join(bal.select(F.col("_id").alias("id_a"),
+                              F.col("_bal").alias("bal_a")), "id_a")
+        .join(bal.select(F.col("_id").alias("id_b"),
+                         F.col("_bal").alias("bal_b")), "id_b")
+        .select(
+            F.col("id_a"), F.col("id_b"),
+            F.round(1.0 / (1.0 + F.abs(F.col("bal_a") - F.col("bal_b"))), 6)
+            .alias("score"),
+        )
+    )
+    return clerical_review_queue(
+        scored, "score", threshold=0.25, band=0.125, id_cols=("id_a", "id_b")
+    ).orderBy("review_rank")
+
+
+SQL_CLERICAL_REVIEW_QUEUE = """
+WITH r AS (
+  SELECT c_custkey AS id, c_acctbal AS bal,
+         row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rnk
+  FROM customer
+), p AS (
+  SELECT a.id AS src, b.id AS dst,
+         round(1.0 / (1.0 + abs(a.bal - b.bal)), 6) AS score
+  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 7
+), q AS (
+  SELECT src, dst, score, round(abs(score - 0.25), 6) AS distance
+  FROM p WHERE score >= 0.125 AND score <= 0.375
+)
+SELECT src, dst, score, distance,
+       CAST(row_number() OVER (ORDER BY distance, src, dst) AS BIGINT)
+         AS review_rank
+FROM q
+ORDER BY review_rank
+"""
+
+
+def q_inferred_pairs(spark, sf_dir):
+    """Transitivity audit (clustering.inferred_pairs): co-membership
+    pairs implied by the CC clusters that were never verified as an
+    edge — the links transitive closure created on its own. The
+    max_cluster_size=100 guard excludes the one 952-node hub cluster
+    whose quadratic pair set would dominate (and is the caller's
+    signal to raise the threshold), exactly as at 100 TB."""
+    from zentity_spark.clustering import connected_components, inferred_pairs
+
+    edges = _cc_edges(spark, sf_dir)
+    assign = connected_components(edges)
+    return (
+        inferred_pairs(assign, edges, max_cluster_size=100)
+        .orderBy("cluster_id", "src", "dst")
+    )
+
+
+SQL_INFERRED_PAIRS = f"""
+WITH RECURSIVE {_sql_cc(40, "cc")},
+sz AS (
+  SELECT cluster_id, count(*) AS n FROM cc GROUP BY 1
+), ok AS (
+  SELECT c.node, c.cluster_id FROM cc c
+  JOIN sz ON c.cluster_id = sz.cluster_id
+  WHERE sz.n > 1 AND sz.n <= 100
+), pairs AS (
+  SELECT a.cluster_id, a.node AS src, b.node AS dst
+  FROM ok a JOIN ok b
+    ON a.cluster_id = b.cluster_id AND a.node < b.node
+), canon AS (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM e_cc
+)
+SELECT p.cluster_id, p.src, p.dst
+FROM pairs p
+LEFT JOIN canon c ON p.src = c.src AND p.dst = c.dst
+WHERE c.src IS NULL
+ORDER BY p.cluster_id, p.src, p.dst
+"""
+
+
 # ----------------------------------------------------------------------
 # Registry
 
@@ -3255,6 +3420,9 @@ def all_queries():
         "fellegi_sunter": q_fellegi_sunter,
         "fs_tf_adjustment": q_fs_tf_adjustment,
         "threshold_sweep": q_threshold_sweep,
+        "stable_entity_ids": q_stable_entity_ids,
+        "clerical_review_queue": q_clerical_review_queue,
+        "inferred_pairs": q_inferred_pairs,
         "cluster_graph_metrics": q_cluster_graph_metrics,
         "golden_record": q_golden_record,
         "meta_blocking": q_meta_blocking,
@@ -3331,6 +3499,9 @@ def all_oracles():
         "fellegi_sunter": _sql_fellegi_sunter(),
         "fs_tf_adjustment": SQL_FS_TF_ADJUSTMENT,
         "threshold_sweep": SQL_THRESHOLD_SWEEP,
+        "stable_entity_ids": SQL_STABLE_ENTITY_IDS,
+        "clerical_review_queue": SQL_CLERICAL_REVIEW_QUEUE,
+        "inferred_pairs": SQL_INFERRED_PAIRS,
         "cluster_graph_metrics": SQL_CLUSTER_GRAPH_METRICS,
         "golden_record": SQL_GOLDEN_RECORD,
         "meta_blocking": SQL_META_BLOCKING,
