@@ -260,6 +260,10 @@ QUERY_SUBSET = [
     # round-3 session-10 additions
     "substring_dedup",
     "sorted_neighborhood",
+    # round-3 session-11 additions
+    "stable_entity_ids",
+    "clerical_review_queue",
+    "inferred_pairs",
 ]
 
 
