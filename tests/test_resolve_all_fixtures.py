@@ -93,3 +93,36 @@ def test_no_scope_whole_dataset_collapses(spark):
     result = resolve_all(spark, t, model)
     members = _cluster_of(result.clusters, "zentity_test_index_a/a0")
     assert len(members) == 40
+
+
+def test_prev_assignments_stable_ids(spark, turns_abc):
+    """Run-over-run entity-id persistence: resolve the a,b,c fixture
+    corpus, feed the assignment back as prev_assignments on an
+    unchanged second run — every record keeps its entity id and nothing
+    mints a new: id (split/merge/new-cluster edge semantics are covered
+    record-level in tests/test_cluster_ops.py)."""
+    model = Model(load_reference_model("TestEntityModelA.json"))
+    model.prune(
+        {
+            "include": {
+                "indices": [
+                    "zentity_test_index_a",
+                    "zentity_test_index_b",
+                    "zentity_test_index_c",
+                ],
+                "resolvers": ["resolver_a", "resolver_b"],
+            }
+        }
+    )
+    first = resolve_all(spark, turns_abc, model)
+    prev = first.clusters.selectExpr(
+        "record_id", "concat('E', cluster_id) AS entity_id"
+    )
+
+    cfg = ResolutionConfig(prev_assignments=prev)
+    second = resolve_all(spark, turns_abc, model, cfg)
+    assert second.entity_ids is not None
+    got = {r["record_id"]: r["entity_id"] for r in second.entity_ids.collect()}
+    for r in prev.collect():
+        assert got[r["record_id"]] == r["entity_id"]
+    assert not any(e.startswith("new:") for e in got.values())

@@ -54,6 +54,14 @@ class ResolutionConfig:
     # per candidate pair over assembled conversation text — the
     # _explanation/_score analog, Arrow-batched pandas UDF)
     score_candidate_pairs: bool = False
+    # last run's (record_id, entity_id) assignment: when set, the result
+    # carries `entity_ids` — this run's clusters keyed by PERSISTENT
+    # entity ids via clustering.stable_entity_ids (greedy max-overlap
+    # crosswalk; splits keep the id on the bigger half, new clusters
+    # mint `new:<cluster_id>`). The reference never needs this because
+    # it resolves one entity per request — the request is the key; a
+    # batch engine re-deriving CC labels each run must carry them.
+    prev_assignments: DataFrame | None = None
 
 
 @dataclass
@@ -64,6 +72,9 @@ class ResolutionResult:
     clusters: DataFrame   # (record_id, cluster_id)
     metrics: list = field(default_factory=list)
     scored_pairs: DataFrame | None = None  # similarity features per candidate pair
+    # (record_id, entity_id) under run-over-run-stable ids; None unless
+    # config.prev_assignments was provided
+    entity_ids: DataFrame | None = None
 
 
 def _build_filtered_values(spark, turns, compiled, config) -> DataFrame:
@@ -151,9 +162,21 @@ def resolve_all(
             cand.select("id_l", "id_r").dropDuplicates(["id_l", "id_r"]), conv_texts
         )
 
+    entity_ids = None
+    if config.prev_assignments is not None:
+        from zentity_spark.clustering import stable_entity_ids
+
+        # clusters feeds BOTH the crosswalk's overlap join and the
+        # member expansion below — one materialization (rule 18)
+        clusters = clusters.localCheckpoint()
+        xwalk = stable_entity_ids(config.prev_assignments, clusters)
+        entity_ids = clusters.join(
+            xwalk.select("cluster_id", "entity_id"), "cluster_id"
+        ).select("record_id", "entity_id")
+
     return ResolutionResult(records=records, pairs=pairs, edges=edges,
                             clusters=clusters, metrics=metrics,
-                            scored_pairs=scored)
+                            scored_pairs=scored, entity_ids=entity_ids)
 
 
 def _entity_closure(spark, values, records, edges, clusters, compiled, config) -> DataFrame:
