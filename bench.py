@@ -43,6 +43,16 @@ def make_spark(cpus: int, app: str = "zentity-bench"):
         # ratio beat lz4 1.44× end-to-end in an interleaved fresh-JVM
         # A/B at pinned local[8] (tools/ab_codec.py, 2026-08-19 01:45Z)
         .config("spark.io.compression.codec", "zstd")
+        # zstd's better ratio shrinks COMPRESSED shuffle sizes ~3×, and
+        # AQE's coalescing sizes post-shuffle parallelism by compressed
+        # bytes: at the default minPartitionSize (1m) the compute-dense
+        # verify stages (array_intersect over millions of candidate
+        # pairs behind a ~10 MB shuffle) coalesced to 8 tasks on 32
+        # cores — 2× wall for free. 64k keeps small-bytes/heavy-CPU
+        # stages wide; large shuffles are untouched (they clear 1m
+        # per partition anyway). Measured on ngram_jaccard: 33.7s →
+        # 9.6s warm under zstd with this alone.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         # G1 (JDK17 default) throttles allocation-heavy Spark local-mode
         # jobs to ~8 cores' worth of throughput on this class of machine;
         # the throughput collector keeps scaling (measured 2.5-2.7× from

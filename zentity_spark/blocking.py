@@ -393,7 +393,7 @@ def meta_block_pairs(blocks: DataFrame, key_col: str = "ckey",
         return weighted
     if prune_scheme not in ("cbs", "arcs", "js"):
         raise ValueError(f"meta_block_pairs: unknown prune_scheme {prune_scheme!r}")
-    weighted = weighted.localCheckpoint(eager=False)
+    weighted = weighted.localCheckpoint()
     mean_w = weighted.agg(F.avg(prune_scheme).alias("_mean"))
     return (
         weighted.crossJoin(F.broadcast(mean_w))

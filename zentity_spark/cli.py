@@ -44,6 +44,16 @@ def _spark(app: str):
     # spark-submit --conf spark.io.compression.codec wins.
     if not SparkConf().contains("spark.io.compression.codec"):
         builder = builder.config("spark.io.compression.codec", "zstd")
+    # zstd shrinks compressed shuffle sizes ~3×, and AQE sizes
+    # post-shuffle parallelism by COMPRESSED bytes — at the default
+    # minPartitionSize (1m), compute-dense verify stages behind small
+    # shuffles coalesce to a fraction of the cores (measured 2× wall
+    # on the n-gram Jaccard verify). Keep such stages wide by default;
+    # an explicit --conf wins as above.
+    if not SparkConf().contains(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize"):
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     # spark-submit provides the master; direct `python -m` runs fall back
     # to local mode (overridable via SPARK_MASTER)
     if not SparkConf().contains("spark.master"):

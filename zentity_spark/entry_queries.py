@@ -1407,7 +1407,8 @@ def q_near_dup_pairs(spark, sf_dir):
     from zentity_spark.extras import near_dup_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return near_dup_pairs(d, k=3, bands=4, jaccard_threshold=0.2).orderBy("id_l", "id_r")
+    return near_dup_pairs(d, k=3, bands=4, jaccard_threshold=0.2)\
+        .localCheckpoint().orderBy("id_l", "id_r")
 
 
 SQL_NEAR_DUP = f"""
@@ -1449,7 +1450,8 @@ def q_ngram_jaccard(spark, sf_dir):
     from zentity_spark.extras import ngram_jaccard_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_jaccard_pairs(d, n=2, threshold=0.35).orderBy("id_l", "id_r")
+    return ngram_jaccard_pairs(d, n=2, threshold=0.35)\
+        .localCheckpoint().orderBy("id_l", "id_r")
 
 
 SQL_NGRAM_JACCARD = f"""
@@ -1513,7 +1515,7 @@ def q_simhash_near_dup(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash_near_dup_pairs(
         d, n_bits=32, bands=4, max_hamming=3
-    ).orderBy("id_l", "id_r")
+    ).localCheckpoint().orderBy("id_l", "id_r")
 
 
 SQL_SIMHASH_NEAR_DUP = f"""
@@ -1578,7 +1580,7 @@ def q_embedding_near_dup(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_dup_pairs(
         e, dim=64, threshold=0.2, bands=2, planes_per_band=6
-    ).orderBy("id_l", "id_r")
+    ).localCheckpoint().orderBy("id_l", "id_r")
 
 
 def _sql_bucket_expr(planes_per_band: int, dim: int, plane_offset: int) -> str:
@@ -1856,7 +1858,7 @@ def q_corpus_curation(spark, sf_dir):
     inj = d.where(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    return curate_corpus(d.unionByName(inj)).orderBy("doc_id")
+    return curate_corpus(d.unionByName(inj)).localCheckpoint().orderBy("doc_id")
 
 
 def _sql_corpus_curation() -> str:
@@ -2283,7 +2285,7 @@ def q_near_dup_dedup(spark, sf_dir):
     from zentity_spark.extras import near_dup_dedup
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return near_dup_dedup(d, k=3, bands=4, jaccard_threshold=0.2).orderBy(
+    return near_dup_dedup(d, k=3, bands=4, jaccard_threshold=0.2).localCheckpoint().orderBy(
         "doc_id"
     )
 
@@ -2321,7 +2323,8 @@ def q_decontaminate(spark, sf_dir):
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench = d.where(F.col("doc_id") % 97 == 0)
-    return decontaminate(d, bench, n=8, threshold=0.5).orderBy("doc_id")
+    return decontaminate(d, bench, n=8, threshold=0.5)\
+        .localCheckpoint().orderBy("doc_id")
 
 
 SQL_DECONTAMINATE = r"""
@@ -2432,7 +2435,8 @@ def q_semantic_dedup(spark, sf_dir):
     from zentity_spark.extras import semantic_dedup
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return semantic_dedup(e, n_centroids=16, threshold=0.3).orderBy("vec_id")
+    return semantic_dedup(e, n_centroids=16, threshold=0.3)\
+        .localCheckpoint().orderBy("vec_id")
 
 
 def _sql_semantic_dedup(n_centroids: int = 16, threshold: float = 0.3) -> str:
@@ -2549,7 +2553,8 @@ def q_substring_spans(spark, sf_dir):
     from zentity_spark.extras import substring_dup_spans
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return substring_dup_spans(d, min_tokens=8).orderBy("doc_id", "span_start")
+    return substring_dup_spans(d, min_tokens=8)\
+        .localCheckpoint().orderBy("doc_id", "span_start")
 
 
 def _sql_substring_spans(min_tokens: int = 8) -> str:
@@ -2602,7 +2607,7 @@ def q_substring_dedup(spark, sf_dir):
     from zentity_spark.extras import substring_dedup
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return substring_dedup(d, min_tokens=8).orderBy("doc_id")
+    return substring_dedup(d, min_tokens=8).localCheckpoint().orderBy("doc_id")
 
 
 def _sql_substring_dedup(min_tokens: int = 8) -> str:
@@ -3207,7 +3212,7 @@ def q_stable_entity_ids(spark, sf_dir):
         "record_id", F.concat(F.lit("E"), F.col("cluster_id")).alias("entity_id")
     )
     curr = connected_components(_cc_edges(spark, sf_dir))
-    return stable_entity_ids(prev, curr).orderBy("cluster_id")
+    return stable_entity_ids(prev, curr).localCheckpoint().orderBy("cluster_id")
 
 
 def _sql_cc(k: int, name: str) -> str:

@@ -50,6 +50,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+def widen_narrow_scan(df: DataFrame) -> DataFrame:
+    """Repartition an input narrower than the cluster's parallelism
+    before a compute-dense stage (fingerprinting, shingling, Arrow
+    matmuls). A SMALL table can still carry heavy per-row compute — a
+    single-row-group parquet file scans as ONE task, serializing e.g.
+    the SimHash fingerprint pass on one core of 32 (measured 3.8s →
+    0.3s at bench scale). At corpus scale the scan is already wider
+    than the cluster and this is a no-op, so the one-time width check
+    (no job, just plan → RDD partition count) is the only cost; the
+    repartition ships the input once, which the first shuffle of the
+    downstream op would have done anyway."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 # ----------------------------------------------------------------------
 # Deduplication
 
@@ -144,6 +161,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     map-side partial aggregation and the shuffle (measured ~2× at
     bands=4), then a model-sized stack() unpivot to the
     (doc_id, band, minhash) long shape."""
+    docs = widen_narrow_scan(docs)
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("shingle")
     )
@@ -169,8 +187,7 @@ def near_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     # can't help — the sides shuffle on different roles) and sets feeds
     # both verify joins; without the checkpoints the tokenize → shingle →
     # hash pipeline runs once per branch (same rule as simhash/ngram)
-    sig = minhash_signatures(docs, text_col, id_col, k, bands).localCheckpoint(
-        eager=False)
+    sig = minhash_signatures(docs, text_col, id_col, k, bands).localCheckpoint()
     l = sig.alias("l")
     r = sig.alias("r")
     cand = (
@@ -188,7 +205,7 @@ def near_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     sets = docs.select(
         F.col(id_col).alias("doc_id"),
         F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("sh"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     return (
         cand.join(sets.withColumnRenamed("doc_id", "id_l").withColumnRenamed("sh", "sh_l"), "id_l")
         .join(sets.withColumnRenamed("doc_id", "id_r").withColumnRenamed("sh", "sh_r"), "id_r")
@@ -235,6 +252,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     anyway. At 100 TB the freq table is gram-keyed (bounded by vocab,
     not corpus) and every shuffle key is a gram or an id — never text.
     """
+    docs = widen_narrow_scan(docs)
     grams_col = shingles(F.col(text_col), n)
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(grams_col).alias("gram")
@@ -269,7 +287,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     ).select(
         "doc_id", "sz", (F.col("pos0") + 1).alias("pos"),
         F.col("pg.gram").alias("gram"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     # PPJoin positional filter (Xiao et al. 2008, lossless): J(x,y) >= t
     # ⇔ overlap >= t/(1+t)·(|x|+|y|); a shared gram at positions
     # (px, py) of the two frequency-ordered arrays bounds the remaining
@@ -305,7 +323,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     sets = docs.select(
         F.col(id_col).alias("doc_id"),
         F.transform(grams_col, lambda s: F.xxhash64(s)).alias("g"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     return (
         cand.join(sets.withColumnRenamed("doc_id", "id_l").withColumnRenamed("g", "g_l"), "id_l")
         .join(sets.withColumnRenamed("doc_id", "id_r").withColumnRenamed("g", "g_r"), "id_r")
@@ -404,6 +422,7 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     which is two longs + one bit_count(xor) per pair — there is no
     text or token movement after fingerprinting.
     """
+    docs = widen_narrow_scan(docs)
     from zentity_spark.blocking import candidate_pairs as _candidate_pairs
 
     width = n_bits // bands
@@ -416,7 +435,7 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     fps = docs.select(
         F.col(id_col).alias("doc_id"),
         sim_hash_expr(F.col(text_col), n_bits).alias("fp"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     blocks = fps.select(
         "doc_id",
         F.explode(
@@ -585,6 +604,7 @@ def ann_lsh_buckets(embeddings: DataFrame, dim: int = 64, n_planes: int = 8) -> 
     """Single-table hyperplane-LSH bucket per vector (the signature
     building block; the scale path composes BANDS of these — see
     banded_lsh_buckets)."""
+    embeddings = widen_narrow_scan(embeddings)
     udf = _banded_buckets_udf(dim, 1, n_planes)
     return embeddings.select(
         "vec_id", "label", F.element_at(udf(F.col("embedding")), 1).alias("bucket")
@@ -599,6 +619,7 @@ def banded_lsh_buckets(embeddings: DataFrame, dim: int = 64, bands: int = 4,
     band's bucket space (2^r) keeps buckets small. → (vec_id, band,
     bucket). One Arrow pass computes every band's bucket (no per-band
     scan+union: the old form re-read the input `bands` times)."""
+    embeddings = widen_narrow_scan(embeddings)
     udf = _banded_buckets_udf(dim, bands, planes_per_band)
     return embeddings.select(
         "vec_id", udf(F.col("embedding")).alias("_buckets")
@@ -648,7 +669,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dim: int = 64,
     # exchange reuse can't dedupe the norm computation)
     vecs = embeddings.select(
         "vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     out = (
         pairs.join(
             vecs.select(F.col("vec_id").alias("id_l"), F.col("embedding").alias("emb_l"),
@@ -699,7 +720,7 @@ def ann_topk_bucketed(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     # materialize once: b feeds both the query-bucket lookup and the
     # probe join — without this the corpus-wide Arrow matmul runs twice
     b = banded_lsh_buckets(embeddings, dim, bands,
-                           planes_per_band).localCheckpoint(eager=False)
+                           planes_per_band).localCheckpoint()
     qb = b.where(F.col("vec_id") == query_vec_id).select("band", "bucket")
     if multiprobe >= 1:
         qb = qb.select(
@@ -1003,6 +1024,7 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text",
     Catalyst-inlining lesson, PLANS.md): both shuffles are keyed by
     doc_id+content with map-side combine, so the stage stays linear in
     corpus size and partitions by doc hash at any scale."""
+    docs = widen_narrow_scan(docs)
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
     lines = F.filter(
@@ -1111,6 +1133,7 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "
     SHIFTED slices via zip_with/least: zip_with arguments are evaluated
     once per row, lambdas only see element variables, so the whole thing
     stays linear and shuffle-free."""
+    docs = widen_narrow_scan(docs)
     staged = docs.select(
         F.col(id_col).alias("doc_id"), canonical_text(F.col(text_col)).alias("_txt")
     ).withColumn(
@@ -1229,6 +1252,7 @@ def decode_media_batches(media: DataFrame, stub: bool = True) -> DataFrame:
     raise instead. Batch shape, Arrow transfer, partitioning, and output
     schema are real either way.
     """
+    media = widen_narrow_scan(media)
 
     def decode(iterator):
         import pandas as pd
@@ -1337,6 +1361,7 @@ def resize_media(media: DataFrame, out_w: int = 4, out_h: int = 4,
     The fake path is still content-derived and engine-independent, so
     the DuckDB oracle checks the actual byte math, not just shapes.
     """
+    media = widen_narrow_scan(media)
     npix = out_w * out_h
 
     def fake_pixels(p: bytes) -> list[float]:
@@ -1423,6 +1448,7 @@ def sample_frames(media: DataFrame, n_samples: int = 8,
     Mirrors video frame-sampling plumbing: schema, Arrow batch shape,
     and the index math are what a real decoder-backed version keeps.
     """
+    media = widen_narrow_scan(media)
 
     def run(iterator):
         import io
@@ -1633,7 +1659,7 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
         (F.col("keep_id") == F.col("doc_id"))
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("punct_ratio") <= max_punct_ratio)
-    ).select("doc_id", "text").localCheckpoint(eager=False)
+    ).select("doc_id", "text").localCheckpoint()
     packed = pack_sequences(kept, budget=budget, n_buckets=n_buckets)
     lang = language_id(kept)
     return packed.join(lang, "doc_id").select(
@@ -1692,6 +1718,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     groupBy(doc_id) — the only shuffle, keyed on the high-cardinality
     id — folds hits and totals. No corpus-side distinct, no benchmark-
     side shuffle, no driver collect."""
+    docs = widen_narrow_scan(docs)
     bench = (
         benchmark.select(
             F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
@@ -1872,6 +1899,7 @@ def semantic_dedup(embeddings: DataFrame, n_centroids: int = 16,
     low cosine floor (intra-cluster p99 ≈ 0.34 at sf0.01), so the
     contract query pins 0.3 to exercise a meaningful keep/drop split.
     """
+    embeddings = widen_narrow_scan(embeddings)
     from zentity_spark.blocking import candidate_pairs as _candidate_pairs
 
     cents = ivf_centroids(embeddings, n_centroids, 0, dim)
@@ -1880,7 +1908,7 @@ def semantic_dedup(embeddings: DataFrame, n_centroids: int = 16,
     assigned = embeddings.select(
         "vec_id", "embedding", _ivf_cid_expr(cents),
         vec_norm(F.col("embedding")).alias("nrm"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     blocks = assigned.select(
         F.lit("semdedup").alias("resolver"),
         F.col("cid").cast("string").alias("ckey"),
@@ -1936,13 +1964,14 @@ def lm_quality(docs: DataFrame, text_col: str = "text",
     token-keyed join + doc-keyed weighted average. The corpus total
     rides along as a broadcast single-row aggregate, so the function
     stays a lazy plan builder."""
+    docs = widen_narrow_scan(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), r"[^\p{L}\p{N}]+")).alias("token"),
     ).where(F.col("token") != "")
     dtf = toks.groupBy("doc_id", "token").agg(
         F.count("*").alias("dtf")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     counts = dtf.groupBy("token").agg(F.sum("dtf").alias("ctf"))
     total = counts.agg(F.sum("ctf").cast("double").alias("_t"))
     scored = (
@@ -1978,13 +2007,14 @@ def tfidf_keywords(docs: DataFrame, text_col: str = "text",
     frequency derived FROM that table (vocab-shaped shuffle) → join
     back + one per-doc row_number window (a partition is one doc's
     distinct tokens — bounded by doc length, never corpus-sized)."""
+    docs = widen_narrow_scan(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), r"[^\p{L}\p{N}]+")).alias("token"),
     ).where(F.col("token") != "")
     dtf = toks.groupBy("doc_id", "token").agg(
         F.count("*").alias("tf")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     dfreq = dtf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").cast("double").alias("_n"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))

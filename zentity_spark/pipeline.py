@@ -89,7 +89,7 @@ def _build_filtered_values(spark, turns, compiled, config) -> DataFrame:
         # decisive at corpus scale, where the doubled work is two full
         # scans of the raw input vs one scan plus a write+read of the
         # much smaller values table.
-        values = values.localCheckpoint(eager=False)
+        values = values.localCheckpoint()
         hot = (
             values.groupBy("attribute", "raw")
             .agg(F.count_distinct("record_id").alias("freq"))

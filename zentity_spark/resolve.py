@@ -569,7 +569,7 @@ def resolve(
     # the doc universe for seed-id validation: every parsed record,
     # including ones that produce no attribute values (an ES ids query
     # matches existence, not extractability)
-    known_ids = parsed.select("record_id").distinct().localCheckpoint(eager=False)
+    known_ids = parsed.select("record_id").distinct().localCheckpoint()
 
     for hop in range(config.max_hops + 1):
         hop_new = False
