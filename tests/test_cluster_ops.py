@@ -42,12 +42,13 @@ class TestStableEntityIds:
         # cluster {c,d}: nominee is min(-1,E1) vs (-1,E2) → tie on count,
         # smaller entity wins the nomination → E1; but E1 was awarded to
         # {a,b} (overlap 2 > 1), so {c,d} mints a new id
-        assert out["c"]["entity_id"] == "new:c" and out["c"]["is_new"]
+        assert out["c"]["entity_id"].startswith("new:c#") and out["c"]["is_new"]
         # {e}: E2 uncontested
         assert out["e"]["entity_id"] == "E2" and out["e"]["overlap"] == 1
         assert out["f"]["entity_id"] == "E3"
         # all-new records
-        assert out["x"]["entity_id"] == "new:x" and out["x"]["overlap"] == 0
+        assert out["x"]["entity_id"].startswith("new:x#")
+        assert out["x"]["overlap"] == 0
         assert out["x"]["is_new"]
 
     def test_entity_awarded_to_largest_overlap(self, spark):
@@ -59,7 +60,7 @@ class TestStableEntityIds:
         out = {r["cluster_id"]: r["entity_id"]
                for r in stable_entity_ids(prev, curr).collect()}
         assert out["b"] == "E1"
-        assert out["a"] == "new:a"
+        assert out["a"].startswith("new:a#")
 
     def test_idempotent_when_unchanged(self, spark):
         prev = _df(spark, [("a", "E1"), ("b", "E1"), ("c", "E7")],
@@ -73,6 +74,28 @@ class TestStableEntityIds:
                  for r in stable_entity_ids(prev2, curr).collect()}
         for r in once.collect():
             assert twice[r["cluster_id"]] == r["entity_id"]
+
+
+    def test_split_of_minted_entity_no_id_collision(self, spark):
+        """Feedback-loop regression: run 1 mints an id for an all-new
+        cluster {c,d,e}; run 2 splits it — {d,e} carries the minted id
+        by overlap and the loser {c} must NOT re-mint the same string
+        (the membership digest in the mint makes the collision
+        impossible, not just unlikely)."""
+        prev0 = _df(spark, [], "record_id string, entity_id string")
+        curr1 = _df(spark, [("c", "c"), ("d", "c"), ("e", "c")],
+                    "record_id string, cluster_id string")
+        run1 = stable_entity_ids(prev0, curr1)
+        prev1 = curr1.join(run1, "cluster_id").select("record_id", "entity_id")
+        minted = run1.collect()[0]["entity_id"]
+        assert minted.startswith("new:c#")
+        curr2 = _df(spark, [("c", "c"), ("d", "d"), ("e", "d")],
+                    "record_id string, cluster_id string")
+        out = {r["cluster_id"]: r["entity_id"]
+               for r in stable_entity_ids(prev1, curr2).collect()}
+        assert out["d"] == minted          # bigger half carries the id
+        assert out["c"] != minted          # loser mints a DIFFERENT id
+        assert len(set(out.values())) == len(out)
 
 
 class TestClericalReviewQueue:

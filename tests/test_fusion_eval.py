@@ -85,6 +85,27 @@ def test_global_cumsum_matches_single_partition_window(spark):
     assert got == want
 
 
+def test_global_cumsum_double_column_no_truncation(spark):
+    """Fractional sums must not be truncated through the partition
+    offsets (regression: offsets were built with int() over a long
+    schema, shifting every later partition by the dropped fraction)."""
+    rows = [(i, 0.25) for i in range(200)]
+    df = spark.createDataFrame(rows, "k int, x double").repartition(8)
+    got = {r["k"]: r["cum_x"]
+           for r in global_cumsum(df, ["k"], ["x"]).collect()}
+    for k, v in got.items():
+        assert v == pytest.approx((k + 1) * 0.25), (k, v)
+
+
+def test_threshold_sweep_no_positives_recall_zero(spark):
+    """All-negative labels: recall/f1 must be 0.0, not NULL."""
+    df = spark.createDataFrame(
+        [(0.9, 0), (0.5, 0)], "score double, label int"
+    )
+    for r in threshold_sweep(df, "score", "label").collect():
+        assert r["recall"] == 0.0 and r["f1"] == 0.0
+
+
 def test_threshold_sweep_hand_example(spark):
     # scores desc: 0.9(+), 0.8(+,-), 0.5(-)  -> thresholds 0.9/0.8/0.5
     df = spark.createDataFrame(
@@ -121,6 +142,22 @@ def test_cluster_graph_metrics_weighted(spark):
     assert abs(c1["avg_weight"] - 0.65) < 1e-9
     c2 = out["c2"]  # singleton: no possible pairs -> density 0
     assert (c2["n_nodes"], c2["n_edges"], c2["density"]) == (1, 0, 0.0)
+
+
+def test_tf_adjustment_unknown_value_falls_back_to_base(spark):
+    """An agreeing value missing from tf_source must get the GENERIC
+    agreement weight, not a NULL that poisons downstream weight sums
+    (regression: left-join miss left tf_adj_weight NULL)."""
+    pairs = spark.createDataFrame(
+        [(1, 2, "ZETA", "ZETA")], "id_a int, id_b int, va string, vb string"
+    )
+    tf_source = spark.createDataFrame([("x",), ("y",)], "v string")
+    r = term_frequency_adjustment(
+        pairs, "va", "vb", 0.9, 0.2, tf_source=tf_source, tf_col="v"
+    ).collect()[0]
+    assert r["agree"] == 1 and r["tf"] is None
+    assert r["tf_adj_weight"] == r["base_weight"]
+    assert r["tf_adj_weight"] is not None
 
 
 def test_tf_adjustment_pair_sides_default(spark):

@@ -31,6 +31,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType, DoubleType, FloatType
 
 from zentity_spark.compiler import CompiledModel
 
@@ -259,14 +260,26 @@ def global_cumsum(df: DataFrame, sort_cols: list[str],
         .agg(*[F.sum(F.col(c)).alias(f"_t_{c}") for c in sum_cols])
         .collect()
     )
-    offsets, acc = [], [0] * len(sum_cols)
+    # offset dtype follows the SOURCE column: fractional sums must not
+    # be truncated through int() / a long schema (cum_<col> over a
+    # double column would otherwise drift by up to a unit per partition)
+    fractional = [
+        isinstance(df.schema[c].dataType, (DoubleType, FloatType, DecimalType))
+        for c in sum_cols
+    ]
+    offsets, acc = [], [0.0 if fr else 0 for fr in fractional]
     for pid, ts in totals:
-        offsets.append((int(pid),) + tuple(int(a) for a in acc))
+        offsets.append((int(pid),) + tuple(
+            float(a) if fr else int(a) for a, fr in zip(acc, fractional)
+        ))
         acc = [a + (t or 0) for a, t in zip(acc, ts)]
     spark = df.sparkSession
     off_df = spark.createDataFrame(
         offsets,
-        "_pid int, " + ", ".join(f"_off_{c} long" for c in sum_cols),
+        "_pid int, " + ", ".join(
+            f"_off_{c} " + ("double" if fr else "long")
+            for c, fr in zip(sum_cols, fractional)
+        ),
     )
     out = local.join(F.broadcast(off_df), "_pid")
     for c in sum_cols:

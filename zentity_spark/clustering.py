@@ -26,7 +26,7 @@ TreeSet everywhere, CONTRIBUTING.md).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -326,10 +326,14 @@ def bcubed_metrics(pred: DataFrame, gold: DataFrame,
     c_sizes = cont.groupBy("_c").agg(F.sum("n_cg").alias("n_c"))
     g_sizes = cont.groupBy("_g").agg(F.sum("n_cg").alias("n_g"))
     joined = cont.join(F.broadcast(c_sizes), "_c").join(F.broadcast(g_sizes), "_g")
+    # n_cg² in DOUBLE: a long product wraps silently past n_cg ≈ 3e9
+    # (the sums are ratio inputs, so double's 2^53 mantissa is the
+    # right precision/overflow trade here)
+    n_cg_d = F.col("n_cg").cast("double")
     agg = joined.select(
         F.sum("n_cg").alias("n"),
-        F.sum(F.col("n_cg") * F.col("n_cg") / F.col("n_c")).alias("p_sum"),
-        F.sum(F.col("n_cg") * F.col("n_cg") / F.col("n_g")).alias("r_sum"),
+        F.sum(n_cg_d * n_cg_d / F.col("n_c")).alias("p_sum"),
+        F.sum(n_cg_d * n_cg_d / F.col("n_g")).alias("r_sum"),
     )
     return agg.select(
         F.col("n").cast("long").alias("n_records"),
@@ -358,9 +362,13 @@ def pairwise_cluster_metrics(pred: DataFrame, gold: DataFrame,
     pair_tp, pair_precision, pair_recall, pair_f1, ari).
 
     Every pair count is an exact integer fold of the contingency table
-    (Σ n(n-1) DIV 2 — never a join over pairs, so 10¹² records cost the
-    same three keyed aggregations as bcubed_metrics); the only floating
-    point is the final ratios, so results are engine-reproducible."""
+    (Σ n(n-1)/2 — never a join over pairs, so 10¹² records cost the
+    same three keyed aggregations as bcubed_metrics); the products are
+    computed in DECIMAL(38,0) because a long n*(n-1) wraps silently
+    past n ≈ 3e9, far below the 10¹² design point (ANSI mode would
+    instead throw there — either way long is wrong). The reported
+    pair_tp stays a long, valid while pair counts ≤ 2⁶³-1 (single
+    cluster/class up to ~4.3e9 members); the ratios are double."""
     t = (
         pred.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_c"))
         .join(
@@ -369,7 +377,12 @@ def pairwise_cluster_metrics(pred: DataFrame, gold: DataFrame,
         )
     )
     cont = t.groupBy("_c", "_g").agg(F.count("*").alias("n_cg"))
-    pairs2 = lambda c: F.sum(F.expr(f"{c} * ({c} - 1) DIV 2"))  # noqa: E731
+    # C(x,2) in DECIMAL(38,0): the product is exact to 38 digits and
+    # always even, so floor(x*(x-1)/2) is the exact pair count
+    pairs2 = lambda c: F.sum(F.expr(  # noqa: E731
+        f"CAST(floor(CAST({c} AS DECIMAL(38,0))"
+        f" * (CAST({c} AS DECIMAL(38,0)) - 1) / 2) AS DECIMAL(38,0))"
+    ))
     tp = cont.agg(
         F.sum("n_cg").alias("n"), pairs2("n_cg").alias("tp")
     )
@@ -382,11 +395,20 @@ def pairwise_cluster_metrics(pred: DataFrame, gold: DataFrame,
         .agg(pairs2("n_g").alias("sum_g"))
     )
     j = tp.crossJoin(c_pairs).crossJoin(g_pairs)
-    total = F.expr("n * (n - 1) DIV 2")
-    exp_idx = F.col("sum_c") * F.col("sum_g") / total
-    denom = (F.col("sum_c") + F.col("sum_g")) / F.lit(2.0) - exp_idx
-    prec = F.when(F.col("sum_c") > 0, F.col("tp") / F.col("sum_c")).otherwise(F.lit(0.0))
-    rec = F.when(F.col("sum_g") > 0, F.col("tp") / F.col("sum_g")).otherwise(F.lit(0.0))
+    # ratio-land is double: decimal division would silently quantize to
+    # scale 6, and doubles carry C(10¹²,2)-sized counts at ~1e-16
+    # relative error — invisible in a ratio
+    tp_d = F.col("tp").cast("double")
+    sum_c_d = F.col("sum_c").cast("double")
+    sum_g_d = F.col("sum_g").cast("double")
+    total = F.expr(
+        "CAST(floor(CAST(n AS DECIMAL(38,0))"
+        " * (CAST(n AS DECIMAL(38,0)) - 1) / 2) AS DOUBLE)"
+    )
+    exp_idx = sum_c_d * sum_g_d / total
+    denom = (sum_c_d + sum_g_d) / F.lit(2.0) - exp_idx
+    prec = F.when(F.col("sum_c") > 0, tp_d / sum_c_d).otherwise(F.lit(0.0))
+    rec = F.when(F.col("sum_g") > 0, tp_d / sum_g_d).otherwise(F.lit(0.0))
     return j.select(
         F.col("n").cast("long").alias("n_records"),
         F.col("tp").cast("long").alias("pair_tp"),
@@ -395,7 +417,7 @@ def pairwise_cluster_metrics(pred: DataFrame, gold: DataFrame,
         F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
          .otherwise(F.lit(0.0)).alias("pair_f1"),
         F.when(denom == 0, F.lit(1.0))
-         .otherwise((F.col("tp") - exp_idx) / denom).alias("ari"),
+         .otherwise((tp_d - exp_idx) / denom).alias("ari"),
     )
 
 
@@ -432,7 +454,11 @@ def threshold_sweep(scored: DataFrame, score_col: str,
     c = global_cumsum(g, ["_negthr"], ["_pos", "_neg"])
     totals = scored.agg(F.sum(lbl).alias("_tot_pos"))
     prec = F.col("tp") / (F.col("tp") + F.col("fp"))
-    rec = F.col("tp") / F.col("_tot_pos")
+    # a sweep over zero true positives (no labeled matches) is a valid
+    # input: recall is 0.0 by convention, not a NULL that silently
+    # drops every row from a recall>=x filter downstream
+    rec = F.when(F.col("_tot_pos") > 0,
+                 F.col("tp") / F.col("_tot_pos")).otherwise(F.lit(0.0))
     return (
         c.crossJoin(F.broadcast(totals))
         .select(
@@ -536,10 +562,24 @@ def stable_entity_ids(prev: DataFrame, curr: DataFrame) -> DataFrame:
     the nominating cluster with the LARGEST overlap (ties → smaller
     cluster_id), so a split entity keeps its id on the bigger half and
     the other half mints a fresh id. Clusters of entirely-new records,
-    and split losers, mint `new:<cluster_id>` (cluster_id is already
-    the min record_id — deterministic). Both argmax passes are
-    window-free: groupBy + min over an encoded (count, key) struct, so
-    nothing materializes a per-key sort at 100 TB.
+    and split losers, mint `new:<cluster_id>#<membership-digest>`
+    (cluster_id is already the min record_id — deterministic; the
+    digest is bit_xor over a 60-bit md5 of each member id). Both argmax
+    passes are window-free: groupBy + min over an encoded (count, key)
+    struct, so nothing materializes a per-key sort at 100 TB.
+
+    Why the digest (and not just `new:<cluster_id>`): when the output
+    is fed back as next run's `prev` (resolve_all's feedback loop), a
+    bare mint can COLLIDE with a carried id — prev mints "new:c" for
+    cluster {c,d,e}; the next run splits it, {d,e} is awarded "new:c"
+    by overlap, and the loser {c} re-mints "new:c" → one persistent id
+    on two entities. Encoding the current membership makes that
+    impossible, not merely unlikely: a carried copy of
+    `new:c#H(members)` implies prev held an entity whose holder set IS
+    this run's cluster-c membership (md5 injectivity); those records
+    are all in cluster c now, so no OTHER cluster can have positive
+    overlap with that entity (a record is in exactly one current
+    cluster), so cluster c itself wins the award and never mints.
 
     Returns (cluster_id, entity_id, overlap, is_new) — one row per
     current cluster.
@@ -571,13 +611,21 @@ def stable_entity_ids(prev: DataFrame, curr: DataFrame) -> DataFrame:
                         ["cluster_id"], "left").where(
         F.col("_won").isNotNull() & (F.col("_won") == F.col("entity_id"))
     ).select("cluster_id", "entity_id", "overlap")
-    all_clusters = curr.select("cluster_id").distinct()
+    # per-cluster membership digest for collision-free minting (see
+    # docstring): order-free bit_xor of a 60-bit md5 per member, hex
+    all_clusters = curr.groupBy("cluster_id").agg(
+        F.lower(F.hex(F.expr(
+            "bit_xor(cast(conv(substring(md5(record_id), 1, 15), 16, 10)"
+            " as bigint))"
+        ))).alias("_dig")
+    )
     return (
         all_clusters.join(kept, "cluster_id", "left")
         .select(
             "cluster_id",
             F.coalesce(F.col("entity_id"),
-                       F.concat(F.lit("new:"), F.col("cluster_id"))
+                       F.concat(F.lit("new:"), F.col("cluster_id"),
+                                F.lit("#"), F.col("_dig"))
                        ).alias("entity_id"),
             F.coalesce(F.col("overlap"), F.lit(0)).alias("overlap"),
             F.col("entity_id").isNull().alias("is_new"),
@@ -598,8 +646,9 @@ def clerical_review_queue(scored: DataFrame, score_col: str,
     threshold (closest first; ties → (src, dst) ascending) computed by
     the distributed two-pass global rank (blocking.global_rank), NOT a
     single-partition window. With `per_block`/`block_col`, the queue is
-    additionally capped per block (deterministic min-struct top-k per
-    key) so one pathological block cannot flood the reviewers.
+    additionally capped per block (window row_number top-k — the
+    per-block sort spills, no whole-block aggregation buffer) so one
+    pathological block cannot flood the reviewers.
 
     Returns (src, dst, score, distance, review_rank).
     """
@@ -616,16 +665,19 @@ def clerical_review_queue(scored: DataFrame, score_col: str,
                     F.round(F.abs(F.col("score") - F.lit(threshold)), 6))
     )
     if per_block is not None and block_col is not None:
+        # per-block top-k via a window row_number, NOT a collect_list
+        # buffer: a pathological block's whole in-band pair set would
+        # otherwise sit in ONE aggregation buffer (the exact skew this
+        # cap exists to contain) — the window's partition sort spills
+        # to disk instead
         b = scored.select(F.col(s).alias("src"), F.col(d).alias("dst"),
                           F.col(block_col).alias("_blk"))
+        wb = Window.partitionBy("_blk").orderBy("distance", "src", "dst")
         q = (
             q.join(b, ["src", "dst"])
-            .groupBy("_blk")
-            .agg(F.slice(F.sort_array(F.collect_list(F.struct(
-                "distance", "src", "dst", "score"))), 1, per_block)
-                .alias("_top"))
-            .select(F.explode("_top").alias("_t"))
-            .select("_t.src", "_t.dst", "_t.score", "_t.distance")
+            .withColumn("_rn", F.row_number().over(wb))
+            .where(F.col("_rn") <= per_block)
+            .select("src", "dst", "score", "distance")
         )
     ranked = global_rank(q, ["distance", "src", "dst"])
     return ranked.select("src", "dst", "score", "distance",

@@ -2680,7 +2680,9 @@ def q_bcubed_lsh(spark, sf_dir):
     from zentity_spark.extras import ann_lsh_buckets
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    b = ann_lsh_buckets(e, dim=64, n_planes=6)
+    # b feeds both join sides of the contingency table — materialize
+    # the Arrow LSH pass once (two-consumer rule, PLANS.md rule 18)
+    b = ann_lsh_buckets(e, dim=64, n_planes=6).localCheckpoint()
     pred = b.select(F.col("vec_id").alias("record_id"),
                     F.col("bucket").alias("cluster_id"))
     gold = b.select(F.col("vec_id").alias("record_id"),
@@ -2723,7 +2725,9 @@ def q_cluster_eval(spark, sf_dir):
     from zentity_spark.extras import ann_lsh_buckets
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    b = ann_lsh_buckets(e, dim=64, n_planes=6)
+    # b feeds both join sides of the contingency table — materialize
+    # the Arrow LSH pass once (two-consumer rule, PLANS.md rule 18)
+    b = ann_lsh_buckets(e, dim=64, n_planes=6).localCheckpoint()
     pred = b.select(F.col("vec_id").alias("record_id"),
                     F.col("bucket").alias("cluster_id"))
     gold = b.select(F.col("vec_id").alias("record_id"),
@@ -3253,10 +3257,15 @@ ov AS (
   WHERE rn = 1
 )
 SELECT a.cluster_id,
-       coalesce(k.entity_id, 'new:' || a.cluster_id) AS entity_id,
+       coalesce(k.entity_id,
+                'new:' || a.cluster_id || '#' || a.dig) AS entity_id,
        CAST(coalesce(k.overlap, 0) AS BIGINT) AS overlap,
        k.entity_id IS NULL AS is_new
-FROM (SELECT DISTINCT cluster_id FROM curr) a
+FROM (SELECT cluster_id,
+             lower(hex(bit_xor(
+               CAST('0x' || substr(md5(record_id), 1, 15) AS BIGINT)
+             ))) AS dig
+      FROM curr GROUP BY cluster_id) a
 LEFT JOIN kept k ON a.cluster_id = k.cluster_id
 ORDER BY a.cluster_id
 """

@@ -57,10 +57,23 @@ def widen_narrow_scan(df: DataFrame) -> DataFrame:
     single-row-group parquet file scans as ONE task, serializing e.g.
     the SimHash fingerprint pass on one core of 32 (measured 3.8s →
     0.3s at bench scale). At corpus scale the scan is already wider
-    than the cluster and this is a no-op, so the one-time width check
-    (no job, just plan → RDD partition count) is the only cost; the
-    repartition ships the input once, which the first shuffle of the
-    downstream op would have done anyway."""
+    than the cluster and this is a no-op; the repartition ships the
+    input once, which the first shuffle of the downstream op would
+    have done anyway.
+
+    Only SCAN-SHAPED plans are widened: under AQE (default on),
+    reading `df.rdd` finalizes the adaptive plan, which EXECUTES every
+    upstream exchange just to learn a partition count — and the work
+    then re-runs at action time because the original lazy df is
+    returned. A plan that already contains a shuffle (join / aggregate
+    / repartition / window) re-spreads across the cluster there, so
+    widening adds nothing anyway; for a pure scan (file relation or a
+    checkpointed RDD), df.rdd materializes nothing and the width check
+    is free."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(op in plan for op in ("Join", "Aggregate", "Repartition",
+                                 "Window", "Exchange", "Sort")):
+        return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
@@ -832,7 +845,11 @@ def _ivf_cid_expr(cents: list[tuple[int, list[float]]]) -> Column:
             return pd.Series([], dtype="int32")
         e = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
         enorm = np.sqrt((e * e).sum(axis=1))
-        cos = np.round((e @ mat.T) / (enorm[:, None] * cnorm[None, :]), 6)
+        raw = (e @ mat.T) / (enorm[:, None] * cnorm[None, :])
+        # HALF_UP at 6dp, sign-aware — np.round is half-EVEN, which can
+        # disagree with Spark F.round / DuckDB round exactly on the
+        # .5-boundary cosines the rounding exists to stabilize
+        cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
         return pd.Series(cids[np.argmax(cos, axis=1)], dtype="int32")
 
     return pandas_udf(_assign, "int")(F.col("embedding")).alias("cid")

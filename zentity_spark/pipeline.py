@@ -58,7 +58,8 @@ class ResolutionConfig:
     # carries `entity_ids` — this run's clusters keyed by PERSISTENT
     # entity ids via clustering.stable_entity_ids (greedy max-overlap
     # crosswalk; splits keep the id on the bigger half, new clusters
-    # mint `new:<cluster_id>`). The reference never needs this because
+    # mint `new:<cluster_id>#<membership-digest>`). The reference never
+    # needs this because
     # it resolves one entity per request — the request is the key; a
     # batch engine re-deriving CC labels each run must carry them.
     prev_assignments: DataFrame | None = None

@@ -158,9 +158,16 @@ def term_frequency_adjustment(pairs: DataFrame, val_a: str, val_b: str,
     base_w = F.when(
         agree, F.lit(math.log2(m_k / u_k))
     ).otherwise(F.lit(math.log2((1.0 - m_k) / (1.0 - u_k))))
+    # fall back to the GENERIC agreement weight when no tf is known for
+    # the agreeing value: a value absent from tf_source (newer batch
+    # than the reference population) or a NULL≡NULL agreement (eqNullSafe
+    # says agree, but the value join finds nothing) must not poison the
+    # pair's weight sum with NULL — no tf evidence means no adjustment,
+    # not a dropped pair
     adj_w = F.when(
-        agree, F.log2(F.lit(float(m_k)) / F.col("_tf"))
-    ).otherwise(F.lit(math.log2((1.0 - m_k) / (1.0 - u_k))))
+        agree & F.col("_tf").isNotNull(),
+        F.log2(F.lit(float(m_k)) / F.col("_tf")),
+    ).otherwise(base_w)
     return (
         pairs.join(F.broadcast(tf), pairs[val_a] == tf["_v"], "left")
         .withColumn("agree", agree.cast("int"))
