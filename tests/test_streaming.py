@@ -466,3 +466,134 @@ def test_stream_checkpoint_lineage_guard(spark, tmp_path):
                              Model(MODEL), out_root,
                              checkpoint_dir=ck, n_buckets=64)
     q2.awaitTermination(240)
+
+
+# ----- incremental near-dup dedup (streaming twin of near_dup_dedup) -----
+
+# Three dedup groups under (k=3, bands=8, t=0.3): {d01,d02,d03} chains
+# across batches (d02 near-dups d01, d03 near-dups d02), {d10,d11},
+# {d20} unique. 20-word docs differing in one middle word keep shingle
+# Jaccard ~0.7 per link — banded-minhash collision is a near-certainty
+# and deterministic given the fixed md5 hashes.
+_BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima mike november oscar papa quebec romeo sierra tango")
+_DOCS = [
+    ("3", _BASE),
+    ("1", _BASE.replace("india", "xray")),
+    ("2", _BASE.replace("india", "xray").replace("bravo", "yankee")),
+    ("10", "one two three four five six seven eight nine ten "
+           "eleven twelve thirteen fourteen fifteen sixteen"),
+    ("11", "one two three four five six seven eight nine ten "
+           "eleven twelve thirteen fourteen fifteen zulu"),
+    ("20", "completely different content about spark incremental "
+           "deduplication with no shared shingles at all whatsoever"),
+]
+# batch split: d03+d10 first, then d01+d11+d20, then d02 (merges the
+# d03 group with d01's only transitively, through d02's arrival)
+_DEDUP_BATCHES = [["3", "10"], ["1", "11", "20"], ["2"]]
+
+
+def _write_doc_files(spark, base: str):
+    in_dir = os.path.join(base, "docs_in")
+    df = spark.createDataFrame(_DOCS, "doc_id string, text string")
+    for i, ids in enumerate(_DEDUP_BATCHES):
+        (df.where(F.col("doc_id").isin(ids)).coalesce(1)
+         .write.mode("append").parquet(in_dir))
+    return in_dir
+
+
+def test_incremental_dedup_converges(spark, tmp_path):
+    """Multi-micro-batch incremental dedup == batch near_dup_dedup on
+    the full corpus: same groups, same min-id keepers — including a
+    group merged only TRANSITIVELY by a later batch's doc."""
+    from zentity_spark.extras import near_dup_dedup
+    from zentity_spark.storage import SnapshotStore
+    from zentity_spark.streaming import current_keepers, incremental_dedup
+
+    in_dir = _write_doc_files(spark, str(tmp_path))
+    stream = (spark.readStream.schema("doc_id string, text string")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out_root = str(tmp_path / "dd")
+    q = incremental_dedup(spark, stream, out_root, k=3, bands=8,
+                          jaccard_threshold=0.3,
+                          checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(240)
+
+    store = SnapshotStore(out_root)
+    got = {
+        (r["doc_id"], r["group_id"], r["kept"])
+        for r in current_keepers(spark, store).collect()
+    }
+    batch_docs = spark.createDataFrame(_DOCS, "doc_id string, text string")
+    expect = {
+        (r["doc_id"], r["group_id"], r["kept"])
+        for r in near_dup_dedup(batch_docs, k=3, bands=8,
+                                jaccard_threshold=0.3).collect()
+    }
+    assert got == expect
+    # the transitive merge happened: d03 (arrived first, alone) ends in
+    # d01's group via d02, keeper = min id "1"
+    by_id = {d: g for d, g, _ in got}
+    assert by_id["3"] == by_id["1"] == by_id["2"] == "1"
+    assert by_id["10"] == by_id["11"] == "10"
+    assert by_id["20"] == "20"
+    # ran as three micro-batches
+    fps = {
+        s["fingerprint"]
+        for s in store.snapshots("batch_done", include_replaced=True)
+        if s["fingerprint"].startswith("batch-")
+    }
+    assert len(fps) == 3
+
+
+def test_incremental_dedup_scan_is_batch_proportional(spark, tmp_path):
+    """O(batch) evidence: after a large first micro-batch commits the
+    corpus, a small second batch's pruned scans of the committed
+    sigkeys/shsets tables touch a small fraction of the corpus (only
+    its hash-bucket partitions), recorded in stream_metrics."""
+    from zentity_spark.storage import SnapshotStore
+    from zentity_spark.streaming import current_keepers, incremental_dedup
+
+    n_corpus = 80
+    # fully token-disjoint docs: no shared shingle anywhere, so the only
+    # LSH collision in the stream is the planted exact dup
+    corpus = [
+        (f"{i}", " ".join(f"w{i}x{j}" for j in range(14)))
+        for i in range(100, 100 + n_corpus)
+    ]
+    small = [
+        ("900", corpus[3][1]),  # exact dup of doc 103
+        ("901", " ".join(f"novel{j}" for j in range(14))),
+    ]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(corpus, "doc_id string, text string") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(small, "doc_id string, text string") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (spark.readStream.schema("doc_id string, text string")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out_root = str(tmp_path / "dd")
+    q = incremental_dedup(spark, stream, out_root, k=3, bands=8,
+                          jaccard_threshold=0.5,
+                          checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(240)
+
+    store = SnapshotStore(out_root)
+    metrics = {
+        r["batch_id"]: r
+        for r in store.read_all(spark, "stream_metrics").collect()
+    }
+    assert len(metrics) == 2
+    big_id, small_id = sorted(
+        metrics, key=lambda b: metrics[b]["batch_docs"], reverse=True)
+    big, sm = metrics[big_id], metrics[small_id]
+    assert big["batch_docs"] == n_corpus and sm["batch_docs"] == 2
+    # 2 docs × 8 bands = ≤16 of 64 key buckets; ≤1 old partner's shset
+    # bucket — each a small fraction of the committed corpus rows
+    assert sm["sigkeys_scan_rows"] <= n_corpus * 8 * 0.3, dict(sm.asDict())
+    assert sm["shsets_scan_rows"] <= n_corpus * 0.25, dict(sm.asDict())
+    keep = {r["doc_id"]: r for r in current_keepers(spark, store).collect()}
+    assert keep["900"]["group_id"] == "103" and not keep["900"]["kept"]
+    assert keep["901"]["kept"]
+    assert len(keep) == n_corpus + 2

@@ -2312,6 +2312,49 @@ ORDER BY doc.doc_id
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Streaming incremental near-dup dedup (streaming.incremental_dedup)
+    converges to the BATCH near_dup_dedup semantics: the documents
+    corpus arrives as three micro-batch files (maxFilesPerTrigger=1),
+    each batch's MinHash-LSH keys are blocked new×accumulated through
+    partition-pruned bucket scans, verified pairs merge groups through
+    the incremental union-find delta log, and the FINAL keeper view
+    must equal the batch operator's transitive min-id groups — the
+    same recursive-CTE oracle as near_dup_dedup, independent of batch
+    arrival order. Same surface (k=3, bands=4, t=0.2)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from zentity_spark.storage import SnapshotStore
+    from zentity_spark.streaming import current_keepers, incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="zentity_inc_dedup_")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    for i in range(3):
+        part_dir = os.path.join(tmp, f"part{i}")
+        docs.where(F.crc32(F.col("doc_id").cast("string")) % 3 == i) \
+            .coalesce(1).write.mode("overwrite").parquet(part_dir)
+        (src,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        shutil.move(src, os.path.join(in_dir, f"batch{i}.parquet"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = incremental_dedup(spark, stream, os.path.join(tmp, "out"),
+                          k=3, bands=4, jaccard_threshold=0.2,
+                          checkpoint_dir=os.path.join(tmp, "ck"))
+    q.awaitTermination()
+    keep = current_keepers(spark, SnapshotStore(os.path.join(tmp, "out")))
+    return keep.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+        "kept",
+    ).orderBy("doc_id")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (extras.decontaminate): fraction of
     each doc's distinct word 8-grams that appear in a benchmark set —
@@ -3422,6 +3465,7 @@ def all_queries():
         "pack_sequences": q_pack_sequences,
         "corpus_curation": q_corpus_curation,
         "near_dup_dedup": q_near_dup_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "domain_mixture": q_domain_mixture,
@@ -3501,6 +3545,7 @@ def all_oracles():
         "pack_sequences": SQL_PACK_SEQUENCES,
         "corpus_curation": _sql_corpus_curation(),
         "near_dup_dedup": _sql_near_dup_dedup(),
+        "incremental_dedup": _sql_near_dup_dedup(),
         "decontaminate": SQL_DECONTAMINATE,
         "stratified_sample": _sql_stratified_sample(),
         "domain_mixture": SQL_DOMAIN_MIXTURE,

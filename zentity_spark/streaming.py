@@ -24,6 +24,14 @@ continuously-arriving transcript corpus (input_hint shape) is:
                             existing entities without recomputing old
                             pairwise work (new×all blocking, not
                             all×all).
+  incremental_dedup         foreachBatch incremental MinHash-LSH
+                            near-dup dedup: the streaming twin of
+                            extras.near_dup_dedup (same signatures,
+                            verify, and min-id keeper rule), with
+                            candidates generated new×accumulated and
+                            group assignments maintained through the
+                            same incremental union-find delta log as
+                            incremental_resolve's delta mode.
 
 Scale notes: the streaming path reuses the batch operators' plan shapes
 (skinny blocking rows, broadcast model mapping, capped blocks). State
@@ -352,6 +360,22 @@ def _commit_once(store, df: DataFrame, table: str, stage: str, fp: str,
                      partition_by=partition_by)
 
 
+def _bucket_of(col: str, n_buckets: int) -> F.Column:
+    """Hash bucket of `col` — the store's physical partition key (the
+    local-parquet analog of Iceberg's bucket(N, col) transform)."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def _touched_buckets(df: DataFrame, col: str, n_buckets: int) -> list[int]:
+    """Distinct hash buckets of `col` — the partition-prune driver list
+    (bounded by n_buckets, a model-sized collect)."""
+    return [
+        r[0]
+        for r in df.select(_bucket_of(col, n_buckets).alias("b"))
+        .distinct().collect()
+    ]
+
+
 def _last_wins(log: DataFrame) -> DataFrame:
     """Current (record_id, cluster_id) per record from assign-log rows:
     max-seq wins. THE single definition of delta-log read semantics —
@@ -364,6 +388,127 @@ def _last_wins(log: DataFrame) -> DataFrame:
         log.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1).select("record_id", "cluster_id")
     )
+
+
+def _assign_current_for(spark: SparkSession, store, ids: DataFrame,
+                        n_buckets: int, metrics: bool):
+    """CURRENT cluster id per requested record (delta mode):
+    bucket-pruned last-wins read of the assign log; a record with
+    no row yet is its own singleton. Returns (assignments, scan-row
+    count) — the pruned scan is checkpointed so the metric and the
+    join share ONE parquet read."""
+    scan = _read_bucket_dirs(spark, store, "assign", "rb",
+                             _touched_buckets(ids, "record_id", n_buckets))
+    if scan is None:
+        return ids.withColumn("cluster_id", F.col("record_id")), None
+    scan_rows = None
+    if metrics:
+        scan = scan.localCheckpoint()
+        scan_rows = scan.count()
+    cur = _last_wins(scan.join(ids, "record_id", "left_semi"))
+    return (
+        ids.join(cur, "record_id", "left")
+        .withColumn("cluster_id",
+                    F.coalesce("cluster_id", F.col("record_id")))
+    ), scan_rows
+
+
+def _delta_assignments(spark: SparkSession, store, edges_new: DataFrame,
+                       new_ids: DataFrame, batch_id: int, fp: str,
+                       n_buckets: int, metrics: bool,
+                       cc_max_iterations: int):
+    """Incremental union-find over the assign/cmembers delta logs —
+    shared by incremental_resolve (record linkage) and
+    incremental_dedup (near-dup keeper marking). Invariants that make
+    the reverse lookup verification-free:
+    (a) every record's FIRST delta row lands under its initial
+    cluster id, so live clusters always have complete cmembers
+    rows; (b) when components merge, every member of each losing
+    cluster is re-pointed at the root, so the losing id is dead
+    forever — rows filed under a dead id can never be matched
+    again (remap keys are CURRENT ids only). Hence no stale row is
+    ever read back as current."""
+    from zentity_spark.clustering import connected_components
+
+    def bucket_of(col: str) -> F.Column:
+        return _bucket_of(col, n_buckets)
+
+    touched = (
+        edges_new.select(F.col("id_l").alias("record_id"))
+        .unionByName(edges_new.select(F.col("id_r").alias("record_id")))
+        .unionByName(new_ids).distinct().localCheckpoint()
+    )
+    cur, assign_scan_rows = _assign_current_for(spark, store, touched,
+                                                n_buckets, metrics)
+    cur = cur.localCheckpoint()  # consumed by cid_l/cid_r/fresh below
+    cid_l = cur.select(F.col("record_id").alias("id_l"),
+                       F.col("cluster_id").alias("src"))
+    cid_r = cur.select(F.col("record_id").alias("id_r"),
+                       F.col("cluster_id").alias("dst"))
+    cid_edges = (
+        edges_new.join(cid_l, "id_l").join(cid_r, "id_r")
+        .select("src", "dst").where(F.col("src") != F.col("dst"))
+    )
+    # batch-sized CC on the contracted component graph: min of the
+    # merged minima == min record id of the merged component, so
+    # ids stay exactly the batch path's convention
+    comp = connected_components(cid_edges, cc_max_iterations)
+    remap = (
+        comp.where(F.col("record_id") != F.col("cluster_id"))
+        .select(F.col("record_id").alias("old_cid"),
+                F.col("cluster_id").alias("new_cid")).localCheckpoint()
+    )
+    members = _read_bucket_dirs(spark, store, "cmembers", "cb",
+                                _touched_buckets(remap, "old_cid", n_buckets))
+    if members is None:
+        moved = spark.createDataFrame([], "record_id string, cluster_id string")
+    else:
+        moved = (
+            members.select(F.col("cluster_id").alias("old_cid"), "record_id")
+            .join(F.broadcast(remap), "old_cid")
+            .select("record_id", F.col("new_cid").alias("cluster_id"))
+        )
+    # every NEW record gets its first row (root if its component
+    # merged, else its current/singleton id)
+    fresh = (
+        cur.join(new_ids, "record_id", "left_semi")
+        .select("record_id", F.col("cluster_id").alias("old_cid"))
+        .join(F.broadcast(remap), "old_cid", "left")
+        .select("record_id",
+                F.coalesce("new_cid", "old_cid").alias("cluster_id"))
+    )
+    delta = (
+        moved.unionByName(fresh).dropDuplicates(["record_id"])
+        .withColumn("seq", F.lit(int(batch_id)).cast("long"))
+        .localCheckpoint()
+    )
+    # COMMIT ORDER MATTERS: cmembers BEFORE assign. A crash between
+    # the two replays the batch; with assign still pre-batch the
+    # replay recomputes the identical delta (remap derives from the
+    # unmerged view), and the extra cmembers rows sit under WINNING
+    # ids, which this batch never reverse-looks-up. The opposite
+    # order would replay with the merge already visible in assign →
+    # remap empty → the moved members' cmembers rows silently never
+    # written, breaking invariant (a) for future merges.
+    _commit_once(store, delta.withColumn("cb", bucket_of("cluster_id")),
+                 "cmembers", "cmembers", fp, partition_by=["cb"])
+    # assign_metrics BETWEEN cmembers and assign: once assign is
+    # committed, a crash-replay recomputes delta with the merge
+    # already visible (remap empty → moved empty), so a metrics row
+    # written after assign would under-count delta_rows for exactly
+    # the crash-window batches it exists to audit. Before assign,
+    # every replay recomputes the identical delta, so the committed
+    # count is exact in every crash window.
+    if metrics:
+        am = spark.createDataFrame(
+            [(int(batch_id), int(delta.count()),
+              int(assign_scan_rows or 0))],
+            "batch_id long, delta_rows long, assign_scan_rows long",
+        )
+        _commit_once(store, am, "assign_metrics", "assign_metrics", fp)
+    _commit_once(store, delta.withColumn("rb", bucket_of("record_id")),
+                 "assign", "assign", fp, partition_by=["rb"])
+    return delta
 
 
 def current_assignments(spark: SparkSession, store) -> DataFrame | None:
@@ -482,18 +627,11 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         has_batches=bool(store.snapshots(marker_for_bind)),
         rebind=rebind_checkpoint,
     )
-    nb = F.lit(n_buckets)
-
     def bucket_of(col: str) -> F.Column:
-        return F.pmod(F.xxhash64(col), nb).cast("int")
+        return _bucket_of(col, n_buckets)
 
     def touched_buckets(df: DataFrame, col: str) -> list[int]:
-        """Distinct hash buckets of `col` — the partition-prune driver
-        list (bounded by n_buckets, a model-sized collect)."""
-        return [
-            r[0] for r in df.select(bucket_of(col).alias("b"))
-            .distinct().collect()
-        ]
+        return _touched_buckets(df, col, n_buckets)
 
     def rebuild_records(ids: DataFrame, want_metrics=True):
         """Match material for exactly `ids`: bucket-pruned values scan +
@@ -529,113 +667,6 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
             "attr_name_fields", F.coalesce("attr_name_fields", empty_af)
         )
         return recs, scan_rows
-
-    def assign_current_for(ids: DataFrame):
-        """CURRENT cluster id per requested record (delta mode):
-        bucket-pruned last-wins read of the assign log; a record with
-        no row yet is its own singleton. Returns (assignments, scan-row
-        count) — see rebuild_records."""
-        scan = _read_bucket_dirs(spark, store, "assign", "rb",
-                                 touched_buckets(ids, "record_id"))
-        if scan is None:
-            return ids.withColumn("cluster_id", F.col("record_id")), None
-        scan_rows = None
-        if metrics:
-            scan = scan.localCheckpoint()
-            scan_rows = scan.count()
-        cur = _last_wins(scan.join(ids, "record_id", "left_semi"))
-        return (
-            ids.join(cur, "record_id", "left")
-            .withColumn("cluster_id",
-                        F.coalesce("cluster_id", F.col("record_id")))
-        ), scan_rows
-
-    def delta_assignments(edges_new: DataFrame, new_ids: DataFrame,
-                          batch_id: int, fp: str):
-        """Incremental union-find over the assign/cmembers delta logs.
-        Invariants that make the reverse lookup verification-free:
-        (a) every record's FIRST delta row lands under its initial
-        cluster id, so live clusters always have complete cmembers
-        rows; (b) when components merge, every member of each losing
-        cluster is re-pointed at the root, so the losing id is dead
-        forever — rows filed under a dead id can never be matched
-        again (remap keys are CURRENT ids only). Hence no stale row is
-        ever read back as current."""
-        touched = (
-            edges_new.select(F.col("id_l").alias("record_id"))
-            .unionByName(edges_new.select(F.col("id_r").alias("record_id")))
-            .unionByName(new_ids).distinct().localCheckpoint()
-        )
-        cur, assign_scan_rows = assign_current_for(touched)
-        cur = cur.localCheckpoint()  # consumed by cid_l/cid_r/fresh below
-        cid_l = cur.select(F.col("record_id").alias("id_l"),
-                           F.col("cluster_id").alias("src"))
-        cid_r = cur.select(F.col("record_id").alias("id_r"),
-                           F.col("cluster_id").alias("dst"))
-        cid_edges = (
-            edges_new.join(cid_l, "id_l").join(cid_r, "id_r")
-            .select("src", "dst").where(F.col("src") != F.col("dst"))
-        )
-        # batch-sized CC on the contracted component graph: min of the
-        # merged minima == min record id of the merged component, so
-        # ids stay exactly the batch path's convention
-        comp = connected_components(cid_edges, config.cc_max_iterations)
-        remap = (
-            comp.where(F.col("record_id") != F.col("cluster_id"))
-            .select(F.col("record_id").alias("old_cid"),
-                    F.col("cluster_id").alias("new_cid")).localCheckpoint()
-        )
-        members = _read_bucket_dirs(spark, store, "cmembers", "cb",
-                                    touched_buckets(remap, "old_cid"))
-        if members is None:
-            moved = spark.createDataFrame([], "record_id string, cluster_id string")
-        else:
-            moved = (
-                members.select(F.col("cluster_id").alias("old_cid"), "record_id")
-                .join(F.broadcast(remap), "old_cid")
-                .select("record_id", F.col("new_cid").alias("cluster_id"))
-            )
-        # every NEW record gets its first row (root if its component
-        # merged, else its current/singleton id)
-        fresh = (
-            cur.join(new_ids, "record_id", "left_semi")
-            .select("record_id", F.col("cluster_id").alias("old_cid"))
-            .join(F.broadcast(remap), "old_cid", "left")
-            .select("record_id",
-                    F.coalesce("new_cid", "old_cid").alias("cluster_id"))
-        )
-        delta = (
-            moved.unionByName(fresh).dropDuplicates(["record_id"])
-            .withColumn("seq", F.lit(int(batch_id)).cast("long"))
-            .localCheckpoint()
-        )
-        # COMMIT ORDER MATTERS: cmembers BEFORE assign. A crash between
-        # the two replays the batch; with assign still pre-batch the
-        # replay recomputes the identical delta (remap derives from the
-        # unmerged view), and the extra cmembers rows sit under WINNING
-        # ids, which this batch never reverse-looks-up. The opposite
-        # order would replay with the merge already visible in assign →
-        # remap empty → the moved members' cmembers rows silently never
-        # written, breaking invariant (a) for future merges.
-        _commit_once(store, delta.withColumn("cb", bucket_of("cluster_id")),
-                     "cmembers", "cmembers", fp, partition_by=["cb"])
-        # assign_metrics BETWEEN cmembers and assign: once assign is
-        # committed, a crash-replay recomputes delta with the merge
-        # already visible (remap empty → moved empty), so a metrics row
-        # written after assign would under-count delta_rows for exactly
-        # the crash-window batches it exists to audit. Before assign,
-        # every replay recomputes the identical delta, so the committed
-        # count is exact in every crash window.
-        if metrics:
-            am = spark.createDataFrame(
-                [(int(batch_id), int(delta.count()),
-                  int(assign_scan_rows or 0))],
-                "batch_id long, delta_rows long, assign_scan_rows long",
-            )
-            _commit_once(store, am, "assign_metrics", "assign_metrics", fp)
-        _commit_once(store, delta.withColumn("rb", bucket_of("record_id")),
-                     "assign", "assign", fp, partition_by=["rb"])
-        return delta
 
     marker_table = "clusters" if clusters_mode == "full" else "batch_done"
 
@@ -742,7 +773,9 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
         _commit_once(store, edges_new, "edges", "edges", fp)
 
         if clusters_mode == "delta":
-            delta_assignments(edges_new, new_ids, batch_id, fp)
+            _delta_assignments(spark, store, edges_new, new_ids, batch_id,
+                               fp, n_buckets, metrics,
+                               config.cc_max_iterations)
         else:
             edges_all = store.read_all(spark, "edges").dropDuplicates(
                 ["id_l", "id_r"])
@@ -796,3 +829,272 @@ def incremental_resolve(spark: SparkSession, stream_turns: DataFrame, model,
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start()
+
+
+# ----------------------------------------------------------------------
+# Incremental near-duplicate deduplication: the streaming twin of
+# extras.near_dup_dedup. Same LSH family as the batch operator
+# (banded MinHash candidates, exact-Jaccard verify on xxhash64-hashed
+# shingle sets) and the same keeper rule (group id = min member id,
+# via zero-padded ids), maintained incrementally: per micro-batch,
+# NEW documents' signatures are committed to bucketed append tables,
+# candidates are generated new×accumulated through partition-pruned
+# bucket scans, and group assignments evolve through the same
+# incremental union-find delta log as incremental_resolve. Per-batch
+# work ∝ |batch| × LSH fan-out — never O(corpus).
+
+_DEDUP_PAD = 32  # near_dup_dedup's id pad width: lexicographic min == numeric min
+
+
+def _check_dedup_meta(output_root: str, n_buckets: int, k: int, bands: int,
+                      jaccard_threshold: float) -> None:
+    """Pin the dedup store's physical + algorithmic parameters, same
+    contract as _check_stream_meta: committed signatures were computed
+    under (k, bands) and live in pmod(xxhash64, n_buckets) partition
+    dirs, so resuming with different values would join new batches'
+    signatures against incomparable committed ones (or scan the wrong
+    bucket dirs) with no error; the threshold decides which edges were
+    committed, so changing it mid-store silently mixes regimes."""
+    fp = hashlib.sha256(
+        json.dumps({"k": k, "bands": bands, "jaccard": jaccard_threshold},
+                   sort_keys=True).encode()
+    ).hexdigest()
+    _check_stream_meta(output_root, n_buckets, "dedup", fp)
+
+
+def incremental_dedup(spark: SparkSession, stream_docs: DataFrame,
+                      output_root: str, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3, bands: int = 8,
+                      jaccard_threshold: float = 0.5,
+                      checkpoint_dir: str | None = None,
+                      n_buckets: int = 64, metrics: bool = True,
+                      maintain_every: int | None = 1,
+                      max_block_size: int | None = 10000,
+                      cc_max_iterations: int = 30,
+                      rebind_checkpoint: bool = False):
+    """Incremental MinHash-LSH near-dup dedup via foreachBatch —
+    O(batch) per micro-batch. Committed tables (append snapshots):
+
+      sigkeys     skinny LSH keys (ckey=xxhash64(band|minhash),
+                  record_id), hash-bucketed by ckey (`kb`)
+      shsets      per-doc xxhash64 shingle sets, bucketed by id (`rb`)
+      record_ids  (record_id, doc_id) pad↔original id map
+      edges       verified near-dup edges (id_l, id_r, jaccard)
+      assign/cmembers/assign_metrics/batch_done
+                  the incremental union-find delta log (shared
+                  machinery with incremental_resolve, delta mode)
+      stream_metrics  per-batch observability incl. pruned-scan rows
+
+    Per micro-batch:
+
+      1. batch docs → banded MinHash signatures + hashed shingle sets
+         (batch-only compute) → committed bucketed;
+      2. the batch's LSH keys' buckets are fetched from the committed
+         sigkeys table by PARTITION-PRUNED scan (touched kb dirs only)
+         + broadcast semi-join → capped/salted self-join → candidate
+         pairs with ≥1 new side;
+      3. old partners' shingle sets fetched by rb-pruned scan, exact
+         Jaccard ≥ threshold → edges appended;
+      4. incremental union-find merges the touched groups (per-batch
+         delta rows ∝ touched components — see _delta_assignments).
+
+    Keeper semantics match extras.near_dup_dedup exactly: ids enter
+    the union-find zero-padded to width 32 so the min-id group rule is
+    numeric for integral ids, and current_keepers() maps back through
+    the committed (record_id, doc_id) table — (doc_id, group_id,
+    kept). Ids longer than 32 chars are rejected per batch (lpad
+    would truncate and could collide).
+
+    A doc is expected to arrive EXACTLY ONCE across the stream's
+    lifetime (checkpoint replays are idempotent via per-table batch
+    fingerprints); re-sending a doc_id in a later batch re-commits its
+    signatures — pairs stay correct (dedup'd by id pair) but scan
+    metrics double-count it. Same Iceberg mapping as
+    incremental_resolve: the bucketed tables are bucket-transform
+    partitioned tables, n_buckets sized ≫ executor count at scale."""
+    from zentity_spark.blocking import candidate_pairs
+    from zentity_spark.extras import canonical_text, shingles
+    from zentity_spark.storage import SnapshotStore
+
+    _check_dedup_meta(output_root, n_buckets, k, bands, jaccard_threshold)
+    store = SnapshotStore(output_root)
+    _bind_checkpoint_lineage(
+        output_root, checkpoint_dir,
+        has_batches=bool(store.snapshots("batch_done")),
+        rebind=rebind_checkpoint,
+    )
+
+    def bucket_of(col: str) -> F.Column:
+        return _bucket_of(col, n_buckets)
+
+    _SIG_SCHEMA = "record_id string, ckey long"
+
+    def process_batch(batch_docs, batch_id: int):
+        fp = f"batch-{batch_id}"
+        if store.contains_fingerprint("batch_done", fp):
+            return  # replayed batch after restart: fully committed
+        docs = batch_docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        ).dropDuplicates(["doc_id"]).localCheckpoint()
+        over = docs.where(F.length("doc_id") > _DEDUP_PAD).limit(1).collect()
+        if over:
+            raise ValueError(
+                f"doc id longer than {_DEDUP_PAD} chars: {over[0][0]!r} — "
+                "the zero-pad keeper rule would truncate it"
+            )
+        pad = F.lpad(F.col("doc_id"), _DEDUP_PAD, "0")
+        ids_new = docs.select(pad.alias("record_id"), "doc_id").localCheckpoint()
+        _commit_once(store, ids_new, "record_ids", "record_ids", fp)
+        new_ids = ids_new.select("record_id")
+
+        # one shingle pass feeds BOTH the signatures and the verify
+        # sets (the expensive part is canonicalize+split+shingle)
+        sh = docs.select(
+            pad.alias("record_id"),
+            shingles(F.col("text"), k).alias("shingle_arr"),
+        ).localCheckpoint()
+        sets_new = sh.select(
+            "record_id",
+            F.transform("shingle_arr", lambda s: F.xxhash64(s)).alias("sh"),
+        ).localCheckpoint()
+        _commit_once(store, sets_new.withColumn("rb", bucket_of("record_id")),
+                     "shsets", "shsets", fp, partition_by=["rb"])
+        exploded = sh.select("record_id",
+                             F.explode("shingle_arr").alias("shingle"))
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle"))))
+            .alias(f"_h{b}")
+            for b in range(bands)
+        ]
+        # same banded-min plan shape as extras.minhash_signatures (all
+        # bands as columns through ONE partial-aggregated groupBy), then
+        # collapsed straight to the skinny int64 LSH key
+        wide = exploded.groupBy("record_id").agg(*aggs)
+        stack_args = ", ".join(f"'{b}', _h{b}" for b in range(bands))
+        keys_new = wide.select(
+            "record_id",
+            F.expr(f"stack({bands}, {stack_args}) AS (band, minhash)"),
+        ).select(
+            "record_id",
+            F.xxhash64(F.concat_ws("|", "band", "minhash")).alias("ckey"),
+        ).localCheckpoint()
+        _commit_once(store, keys_new.withColumn("kb", bucket_of("ckey")),
+                     "sigkeys", "sigkeys", fp, partition_by=["kb"])
+
+        # new × all: only LSH buckets containing a NEW doc can produce
+        # new pairs — partition-pruned scan of committed keys (touched
+        # kb dirs only) + broadcast semi-join, then the capped+salted
+        # self-join (a degenerate shingle shared by a million docs is a
+        # dropped-and-reported block, not an O(b²) task)
+        touched = keys_new.select("ckey").distinct()
+        keys_scan = _read_bucket_dirs(
+            spark, store, "sigkeys", "kb",
+            _touched_buckets(keys_new, "ckey", n_buckets))
+        if keys_scan is None:  # empty batch
+            keys_scan = spark.createDataFrame([], _SIG_SCHEMA)
+        keys_scan = keys_scan.localCheckpoint()
+        keys_scan_rows = keys_scan.count() if metrics else None
+        block_rows = (
+            keys_scan.join(F.broadcast(touched), "ckey", "left_semi")
+            .select(F.lit("minhash").alias("resolver"), "ckey", "record_id")
+            .dropDuplicates(["ckey", "record_id"])
+        )
+        cand, dropped = candidate_pairs(block_rows,
+                                        max_block_size=max_block_size)
+        dropped_blocks = dropped.count() if metrics else None
+        cand = cand.join(
+            new_ids.withColumnRenamed("record_id", "id_l"), "id_l", "left_semi"
+        ).unionByName(
+            cand.join(
+                new_ids.withColumnRenamed("record_id", "id_r"), "id_r",
+                "left_semi")
+        ).dropDuplicates(["id_l", "id_r"]).select("id_l", "id_r") \
+         .localCheckpoint()
+
+        # exact-Jaccard verify: new ids reuse this batch's sets; only
+        # OLD partners hit the rb-pruned committed shsets scan
+        pair_ids = (
+            cand.select(F.col("id_l").alias("record_id"))
+            .unionByName(cand.select(F.col("id_r").alias("record_id")))
+            .distinct()
+        )
+        old_ids = pair_ids.join(new_ids, "record_id", "left_anti")
+        sets_scan_rows = None
+        sets_old = _read_bucket_dirs(
+            spark, store, "shsets", "rb",
+            _touched_buckets(old_ids, "record_id", n_buckets))
+        if sets_old is None:
+            sets = sets_new
+        else:
+            sets_old = sets_old.localCheckpoint()
+            if metrics:
+                sets_scan_rows = sets_old.count()
+            sets = sets_new.unionByName(
+                sets_old.select("record_id", "sh")
+                .join(old_ids, "record_id", "left_semi")
+            )
+        edges_new = (
+            cand.join(sets.select(F.col("record_id").alias("id_l"),
+                                  F.col("sh").alias("sh_l")), "id_l")
+            .join(sets.select(F.col("record_id").alias("id_r"),
+                              F.col("sh").alias("sh_r")), "id_r")
+            .withColumn(
+                "jaccard",
+                F.round(F.size(F.array_intersect("sh_l", "sh_r"))
+                        / F.size(F.array_union("sh_l", "sh_r")), 6),
+            )
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .select("id_l", "id_r", "jaccard").localCheckpoint()
+        )
+        _commit_once(store, edges_new, "edges", "edges", fp)
+
+        _delta_assignments(spark, store,
+                           edges_new.select("id_l", "id_r"), new_ids,
+                           batch_id, fp, n_buckets, metrics,
+                           cc_max_iterations)
+        if metrics:
+            m = spark.createDataFrame(
+                [(
+                    int(batch_id), int(docs.count()),
+                    int(keys_scan_rows or 0), int(sets_scan_rows or 0),
+                    int(dropped_blocks or 0),
+                )],
+                "batch_id long, batch_docs long, sigkeys_scan_rows long,"
+                " shsets_scan_rows long, dropped_blocks long",
+            )
+            _commit_once(store, m, "stream_metrics", "stream_metrics", fp)
+        done = spark.createDataFrame([(int(batch_id),)], "batch_id long")
+        _commit_once(store, done, "batch_done", "batch_done", fp)
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            for tbl, pb in [("sigkeys", ["kb"]), ("shsets", ["rb"]),
+                            ("record_ids", None), ("edges", None),
+                            ("assign", ["rb"]), ("cmembers", ["cb"]),
+                            ("assign_metrics", None), ("batch_done", None),
+                            ("stream_metrics", None)]:
+                store.maintain(spark, tbl, partition_by=pb)
+
+    writer = stream_docs.writeStream.foreachBatch(process_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
+def current_keepers(spark: SparkSession, store) -> DataFrame | None:
+    """Materialize the dedup view from an incremental_dedup store:
+    (doc_id, group_id, kept) with extras.near_dup_dedup's exact
+    semantics — group id = min member id (numeric for integral ids via
+    the zero-pad), kept = doc is its group's representative. On-demand
+    O(corpus) materialization; no per-batch cost."""
+    assigned = current_assignments(spark, store)
+    if assigned is None:
+        return None
+    idmap = store.read_all(spark, "record_ids").dropDuplicates(["record_id"])
+    return (
+        assigned
+        .join(idmap, "record_id")
+        .join(idmap.select(F.col("record_id").alias("cluster_id"),
+                           F.col("doc_id").alias("group_id")), "cluster_id")
+        .select("doc_id", "group_id",
+                (F.col("doc_id") == F.col("group_id")).alias("kept"))
+    )
