@@ -597,3 +597,51 @@ def test_incremental_dedup_scan_is_batch_proportional(spark, tmp_path):
     assert keep["900"]["group_id"] == "103" and not keep["900"]["kept"]
     assert keep["901"]["kept"]
     assert len(keep) == n_corpus + 2
+
+
+def test_incremental_dedup_null_text_and_bad_ids(spark, tmp_path):
+    """NULL-text docs stay singleton keepers (the batch twin never
+    pairs them: a NULL minhash never meets a join key) and never merge
+    with EACH OTHER; ids that can collide under the zero-pad rule are
+    a hard error, not a silent union."""
+    from zentity_spark.extras import near_dup_dedup
+    from zentity_spark.storage import SnapshotStore
+    from zentity_spark.streaming import current_keepers, incremental_dedup
+
+    rows = [("5", None), ("6", None), ("7", _BASE)]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows, "doc_id string, text string") \
+        .coalesce(1).write.parquet(in_dir)
+    stream = (spark.readStream.schema("doc_id string, text string")
+              .parquet(in_dir))
+    out_root = str(tmp_path / "dd")
+    q = incremental_dedup(spark, stream, out_root, k=3, bands=4,
+                          jaccard_threshold=0.2,
+                          checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["group_id"], r["kept"])
+        for r in current_keepers(spark, SnapshotStore(out_root)).collect()
+    }
+    batch = spark.createDataFrame(rows, "doc_id string, text string")
+    expect = {
+        (r["doc_id"], r["group_id"], r["kept"])
+        for r in near_dup_dedup(batch, k=3, bands=4,
+                                jaccard_threshold=0.2).collect()
+    }
+    assert got == expect == {("5", "5", True), ("6", "6", True),
+                             ("7", "7", True)}
+
+    # '03' pads equal to '3' — must raise, not silently merge ids
+    bad_dir = str(tmp_path / "bad_in")
+    spark.createDataFrame([("3", "a b c"), ("03", "a b c")],
+                          "doc_id string, text string") \
+        .coalesce(1).write.parquet(bad_dir)
+    bad_stream = (spark.readStream.schema("doc_id string, text string")
+                  .parquet(bad_dir))
+    q2 = incremental_dedup(spark, bad_stream, str(tmp_path / "dd2"),
+                           checkpoint_dir=str(tmp_path / "ck2"))
+    with pytest.raises(Exception, match="leading|unsupported doc id"):
+        q2.awaitTermination(120)
+        if q2.exception():
+            raise Exception(str(q2.exception()))

@@ -847,16 +847,20 @@ _DEDUP_PAD = 32  # near_dup_dedup's id pad width: lexicographic min == numeric m
 
 
 def _check_dedup_meta(output_root: str, n_buckets: int, k: int, bands: int,
-                      jaccard_threshold: float) -> None:
+                      jaccard_threshold: float, text_col: str,
+                      id_col: str) -> None:
     """Pin the dedup store's physical + algorithmic parameters, same
     contract as _check_stream_meta: committed signatures were computed
     under (k, bands) and live in pmod(xxhash64, n_buckets) partition
     dirs, so resuming with different values would join new batches'
     signatures against incomparable committed ones (or scan the wrong
     bucket dirs) with no error; the threshold decides which edges were
-    committed, so changing it mid-store silently mixes regimes."""
+    committed, so changing it mid-store silently mixes regimes. The
+    column names are pinned too: resuming with a different text_col
+    would join signatures computed over DIFFERENT source columns."""
     fp = hashlib.sha256(
-        json.dumps({"k": k, "bands": bands, "jaccard": jaccard_threshold},
+        json.dumps({"k": k, "bands": bands, "jaccard": jaccard_threshold,
+                    "text_col": text_col, "id_col": id_col},
                    sort_keys=True).encode()
     ).hexdigest()
     _check_stream_meta(output_root, n_buckets, "dedup", fp)
@@ -902,8 +906,10 @@ def incremental_dedup(spark: SparkSession, stream_docs: DataFrame,
     the union-find zero-padded to width 32 so the min-id group rule is
     numeric for integral ids, and current_keepers() maps back through
     the committed (record_id, doc_id) table — (doc_id, group_id,
-    kept). Ids longer than 32 chars are rejected per batch (lpad
-    would truncate and could collide).
+    kept). Ids longer than 32 chars (lpad would truncate) and
+    multi-char ids with a leading '0' (the only possible pad
+    collision) are rejected per batch. NULL-text docs are kept as
+    singletons and never paired — batch parity.
 
     A doc is expected to arrive EXACTLY ONCE across the stream's
     lifetime (checkpoint replays are idempotent via per-table batch
@@ -913,10 +919,11 @@ def incremental_dedup(spark: SparkSession, stream_docs: DataFrame,
     incremental_resolve: the bucketed tables are bucket-transform
     partitioned tables, n_buckets sized ≫ executor count at scale."""
     from zentity_spark.blocking import candidate_pairs
-    from zentity_spark.extras import canonical_text, shingles
+    from zentity_spark.extras import shingles
     from zentity_spark.storage import SnapshotStore
 
-    _check_dedup_meta(output_root, n_buckets, k, bands, jaccard_threshold)
+    _check_dedup_meta(output_root, n_buckets, k, bands, jaccard_threshold,
+                      text_col, id_col)
     store = SnapshotStore(output_root)
     _bind_checkpoint_lineage(
         output_root, checkpoint_dir,
@@ -937,11 +944,21 @@ def incremental_dedup(spark: SparkSession, stream_docs: DataFrame,
             F.col(id_col).cast("string").alias("doc_id"),
             F.col(text_col).alias("text"),
         ).dropDuplicates(["doc_id"]).localCheckpoint()
-        over = docs.where(F.length("doc_id") > _DEDUP_PAD).limit(1).collect()
-        if over:
+        # two pad hazards, both hard errors: >32 chars would truncate;
+        # a multi-char id STARTING with '0' is the only way two
+        # distinct ids can zero-pad to the same key (pad(a)==pad(b),
+        # a≠b ⇒ the longer one is '0'*n + the shorter ⇒ leading '0'),
+        # and a collision would silently union-find two docs as one
+        bad = docs.where(
+            (F.length("doc_id") > _DEDUP_PAD)
+            | ((F.length("doc_id") > 1) & F.col("doc_id").startswith("0"))
+        ).limit(1).collect()
+        if bad:
             raise ValueError(
-                f"doc id longer than {_DEDUP_PAD} chars: {over[0][0]!r} — "
-                "the zero-pad keeper rule would truncate it"
+                f"unsupported doc id {bad[0][0]!r}: ids longer than "
+                f"{_DEDUP_PAD} chars or multi-char ids with a leading "
+                "'0' break the zero-pad min-id keeper rule "
+                "(truncation / pad collision)"
             )
         pad = F.lpad(F.col("doc_id"), _DEDUP_PAD, "0")
         ids_new = docs.select(pad.alias("record_id"), "doc_id").localCheckpoint()
@@ -949,8 +966,12 @@ def incremental_dedup(spark: SparkSession, stream_docs: DataFrame,
         new_ids = ids_new.select("record_id")
 
         # one shingle pass feeds BOTH the signatures and the verify
-        # sets (the expensive part is canonicalize+split+shingle)
-        sh = docs.select(
+        # sets (the expensive part is canonicalize+split+shingle).
+        # NULL-text docs are excluded HERE, not at ingest: the batch
+        # twin never pairs them (NULL minhash never meets a join key),
+        # but they stay in record_ids so current_keepers still emits
+        # their singleton row — exact batch-output parity
+        sh = docs.where(F.col("text").isNotNull()).select(
             pad.alias("record_id"),
             shingles(F.col("text"), k).alias("shingle_arr"),
         ).localCheckpoint()
@@ -1002,7 +1023,9 @@ def incremental_dedup(spark: SparkSession, stream_docs: DataFrame,
         )
         cand, dropped = candidate_pairs(block_rows,
                                         max_block_size=max_block_size)
-        dropped_blocks = dropped.count() if metrics else None
+        dropped_blocks = (
+            dropped.count() if (metrics and dropped is not None) else None
+        )
         cand = cand.join(
             new_ids.withColumnRenamed("record_id", "id_l"), "id_l", "left_semi"
         ).unionByName(
