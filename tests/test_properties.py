@@ -105,13 +105,23 @@ def test_java_double_roundtrip(x):
 
 
 @settings(max_examples=200, deadline=None)
-@given(vals=st.lists(st.floats(min_value=0.0, max_value=1.0,
-                               allow_nan=False), max_size=8))
+@given(vals=st.lists(
+    st.one_of(st.just(0.0), st.just(1.0),
+              st.floats(min_value=1e-30, max_value=1.0, allow_nan=False)),
+    max_size=8))
 def test_composite_score_bounds_and_symmetry(vals):
     """Conflation stays in [0,1], is order-invariant to float rounding
-    (the reference iterates a SORTED TreeSet, so its order is fixed; an
-    arbitrary permutation may differ by ulps), and the NaN guard
-    (1.0 with 0.0) yields 0.5 (Job.java:636-637)."""
+    away from the denormal-underflow boundary, and the NaN guard
+    (1.0 with 0.0) yields 0.5 (Job.java:636-637).
+
+    Scores below ~1e-30 are excluded (0.0 itself still drawn): with a
+    denormal score and an exact 1.0, the ∏s running product underflows
+    to 0.0 in one multiplication order but not the other, flipping the
+    0/0 NaN guard — the REFERENCE's plain sequential reduce over the
+    caller's list (Job.java:633-635) has the identical order
+    sensitivity, so order-invariance there is not a property either
+    implementation has; what matters is per-order bit parity, covered
+    by the JobTest golden vectors."""
     from zentity_spark.scoring import composite_identity_confidence_score as cs
 
     a = cs(list(vals))
