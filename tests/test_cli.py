@@ -282,3 +282,51 @@ def test_cli_stream(spark, tmp_path, monkeypatch, capsys):
     got = {(r["record_id"], r["cluster_id"]) for r in
            spark.read.parquet(str(tmp_path / "assign_out")).collect()}
     assert got == {("c1", "c1"), ("c2", "c1"), ("c3", "c3"), ("c4", "c3")}
+
+
+def test_cli_dedup_stream(spark, tmp_path, monkeypatch, capsys):
+    """`dedup-stream` runs incremental near-dup dedup over a watched
+    directory; a rerun with the same checkpoint/store resumes without
+    re-processing and picks up a newly arrived duplicate. Ids come
+    back as strings: the store normalizes ids at ingest (the zero-pad
+    keeper rule is string-keyed); callers needing the source type cast
+    on the way out, as q_incremental_dedup does."""
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa")
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, base), (2, base.replace("india", "xray")), (3, "totally "
+          "unrelated words about something else entirely different here "
+          "nothing shared with the first family at all")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(in_dir)
+    out_root = str(tmp_path / "store")
+    argv = ["dedup-stream", "--input", in_dir, "--output", out_root,
+            "--checkpoint", str(tmp_path / "ck"),
+            "--bands", "8", "--jaccard-threshold", "0.3",
+            "--keepers-output", str(tmp_path / "keep_out")]
+    cli.main(argv)
+    obj = json.loads(capsys.readouterr().out)
+    assert obj["docs"] == 3 and obj["groups"] == 2 and obj["duplicates"] == 1
+    n_batches = len(obj["batches"])
+    got = {(r["doc_id"], r["group_id"], r["kept"]) for r in
+           spark.read.parquet(str(tmp_path / "keep_out")).collect()}
+    assert got == {("1", "1", True), ("2", "1", False), ("3", "3", True)}
+
+    # rerun: nothing new → unchanged; then a new near-dup of doc 3 lands
+    cli.main(argv)
+    obj2 = json.loads(capsys.readouterr().out)
+    assert len(obj2["batches"]) == n_batches and obj2["docs"] == 3
+    spark.createDataFrame(
+        [(4, "totally unrelated words about something else entirely "
+             "different here nothing shared with the zulu family at all")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    cli.main(argv)
+    obj3 = json.loads(capsys.readouterr().out)
+    assert obj3["docs"] == 4 and obj3["groups"] == 2 and obj3["duplicates"] == 2
+    got = {(r["doc_id"], r["group_id"], r["kept"]) for r in
+           spark.read.parquet(str(tmp_path / "keep_out")).collect()}
+    assert got == {("1", "1", True), ("2", "1", False), ("3", "3", True),
+                   ("4", "3", False)}

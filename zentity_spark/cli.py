@@ -14,7 +14,9 @@ Usage (north_rule launch shape):
 `bulk` runs the NDJSON bulk-resolution body; `stream` runs incremental
 record linkage over arriving transcript files (processes everything
 available then stops; rerun with the same --checkpoint/--output to pick
-up new arrivals exactly once); `models` manages the entity-model store
+up new arrivals exactly once); `dedup-stream` runs incremental
+MinHash-LSH near-dup dedup over arriving document files (same
+exactly-once/resume semantics); `models` manages the entity-model store
 (get/list/create/update/delete/bulk/setup, ModelsAction.java:86-99 +
 SetupAction.java:43-91); `home` prints the engine metadata body.
 """
@@ -200,6 +202,38 @@ def main(argv=None):
                    help="also write the materialized (record_id, "
                         "cluster_id) view as parquet to this path")
 
+    d = sub.add_parser(
+        "dedup-stream",
+        help="incremental MinHash-LSH near-dup dedup over arriving "
+             "document files (foreachBatch; processes everything "
+             "available, then stops — rerun with the same "
+             "--checkpoint/--output to pick up new arrivals exactly "
+             "once; keeper rule = min id per transitive group, batch "
+             "near_dup_dedup parity)",
+    )
+    d.add_argument("--input", required=True,
+                   help="directory watched for document files")
+    d.add_argument("--input-format", default="parquet")
+    d.add_argument("--schema", default="doc_id long, text string",
+                   help="input stream DDL schema (streaming reads "
+                        "require an explicit schema)")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--output", required=True, help="SnapshotStore root")
+    d.add_argument("--checkpoint", default=None,
+                   help="streaming checkpoint dir (required for resume)")
+    d.add_argument("--shingle-k", type=int, default=3)
+    d.add_argument("--bands", type=int, default=8)
+    d.add_argument("--jaccard-threshold", type=float, default=0.5)
+    d.add_argument("--n-buckets", type=int, default=64)
+    d.add_argument("--max-block-size", type=int, default=10_000)
+    d.add_argument("--max-files-per-trigger", type=int, default=None)
+    d.add_argument("--rebind-checkpoint", action="store_true",
+                   help="see 'stream --rebind-checkpoint'")
+    d.add_argument("--keepers-output", default=None,
+                   help="also write the materialized (doc_id, group_id,"
+                        " kept) view as parquet to this path")
+
     m = sub.add_parser(
         "models",
         help="entity-model management (the _zentity/models routes, "
@@ -266,6 +300,48 @@ def main(argv=None):
                 },
             )
         )
+        spark.stop()
+        return
+
+    if args.cmd == "dedup-stream":
+        # no entity model — the dedup stream's parameters are its own
+        # pinned store meta (k/bands/threshold/columns)
+        from zentity_spark.storage import SnapshotStore
+        from zentity_spark.streaming import current_keepers, incremental_dedup
+
+        reader = spark.readStream.schema(args.schema).format(args.input_format)
+        if args.max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger",
+                                   args.max_files_per_trigger)
+        q = incremental_dedup(
+            spark, reader.load(args.input), args.output,
+            text_col=args.text_col, id_col=args.id_col,
+            k=args.shingle_k, bands=args.bands,
+            jaccard_threshold=args.jaccard_threshold,
+            checkpoint_dir=args.checkpoint, n_buckets=args.n_buckets,
+            max_block_size=args.max_block_size,
+            rebind_checkpoint=args.rebind_checkpoint,
+        )
+        q.awaitTermination()
+        store = SnapshotStore(args.output)
+        sm = store.read_all(spark, "stream_metrics")
+        batches = ([r.asDict() for r in sm.orderBy("batch_id").collect()]
+                   if sm is not None else [])
+        keep = current_keepers(spark, store)
+        if keep is not None:
+            keep = keep.localCheckpoint()  # one materialization, 3 consumers
+        n_docs = keep.count() if keep is not None else 0
+        n_groups = (keep.select("group_id").distinct().count()
+                    if keep is not None else 0)
+        if args.keepers_output and keep is not None:
+            keep.write.mode("overwrite").parquet(args.keepers_output)
+        print(json.dumps({
+            "batches": batches,  # cumulative across runs (append table)
+            "docs": n_docs,
+            "groups": n_groups,
+            "duplicates": n_docs - n_groups,
+            "keepers_output": args.keepers_output,
+        }, indent=2))
         spark.stop()
         return
 
