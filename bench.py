@@ -274,6 +274,8 @@ QUERY_SUBSET = [
     "stable_entity_ids",
     "clerical_review_queue",
     "inferred_pairs",
+    # round-3 session-14 additions
+    "review_decisions_applied",
 ]
 
 

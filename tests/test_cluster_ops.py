@@ -156,3 +156,54 @@ class TestInferredPairs:
         capped = {(r["src"], r["dst"]) for r in
                   inferred_pairs(assign, edges, max_cluster_size=2).collect()}
         assert capped == set()
+
+
+# ----- apply_review_decisions (clerical-review loop closure) -----
+
+def test_apply_review_decisions_semantics(spark):
+    """non_match removes the edge (splitting when it was the only
+    path), match merges, violations surface non_match pairs still
+    connected via an independent path — never silently split."""
+    from zentity_spark.clustering import apply_review_decisions
+
+    # a-b-c chain; triangle x-y-z; isolated pair p-q
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z"), ("x", "z"),
+         ("p", "q")],
+        "src string, dst string",
+    )
+    assign = spark.createDataFrame(
+        [(n,) for n in "abcxyzpq"], "record_id string"
+    ).withColumn("cluster_id", F.col("record_id"))
+    decisions = spark.createDataFrame(
+        [("b", "a", "non_match"),   # only path: a splits off (orientation flipped)
+         ("x", "y", "non_match"),   # x-z-y path survives → violation
+         ("p", "c", "match")],      # must-link merges the pair into the chain
+        "src string, dst string, decision string",
+    )
+    assignments, violations = apply_review_decisions(assign, edges, decisions)
+    got = {(r["record_id"], r["cluster_id"]) for r in assignments.collect()}
+    # a singleton; b-c-p-q one cluster (min id b); x-y-z intact (min x)
+    assert got == {("a", "a"), ("b", "b"), ("c", "b"), ("p", "b"),
+                   ("q", "b"), ("x", "x"), ("y", "x"), ("z", "x")}
+    v = {(r["src"], r["dst"], r["cluster_id"]) for r in violations.collect()}
+    assert v == {("x", "y", "x")}
+
+
+def test_apply_review_decisions_validation(spark):
+    from zentity_spark.clustering import apply_review_decisions
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    assign = spark.createDataFrame([("a", "a"), ("b", "a")],
+                                   "record_id string, cluster_id string")
+    with pytest.raises(ValueError, match="unknown review decision"):
+        apply_review_decisions(
+            assign, edges,
+            spark.createDataFrame([("a", "b", "nonmatch")],
+                                  "src string, dst string, decision string"))
+    with pytest.raises(ValueError, match="conflicting decisions"):
+        apply_review_decisions(
+            assign, edges,
+            spark.createDataFrame(
+                [("a", "b", "match"), ("b", "a", "non_match")],
+                "src string, dst string, decision string"))

@@ -720,3 +720,92 @@ def inferred_pairs(assign: DataFrame, edges: DataFrame,
         F.greatest("src", "dst").alias("dst"),
     ).distinct()
     return pairs.join(canon, ["src", "dst"], "left_anti")
+
+
+def apply_review_decisions(assign: DataFrame, edges: DataFrame,
+                           decisions: DataFrame,
+                           max_iterations: int = 50):
+    """Close the clerical-review loop: re-cluster with human decisions
+    applied to the verified edge set. `decisions` is
+    (src, dst, decision) with decision in {'match', 'non_match'} —
+    the output of reviewing clerical_review_queue pairs.
+
+      non_match  removes the canonicalized edge (either orientation).
+                 Transitive paths THROUGH other records survive: the
+                 reviewer rejected one piece of evidence, not the
+                 records' global identity — pairs still co-clustered
+                 via an independent path come back as VIOLATIONS for
+                 escalation instead of being silently split (splitting
+                 at an arbitrary other edge would fabricate a decision
+                 no human made).
+      match      adds the edge (must-link), merging components.
+
+    Returns (assignments, violations):
+      assignments  (record_id, cluster_id) over the union of assign's
+                   universe and all decision endpoints (min-id labels,
+                   same convention as connected_components; records
+                   left with no edges become singletons)
+      violations   (src, dst, cluster_id) — non_match pairs still
+                   co-clustered after the rebuild
+
+    Scale shape: decisions are human-review output — inherently tiny —
+    so the removal anti-join and both violation joins broadcast them;
+    the only corpus-sized work is the CC rebuild itself (edge-sized,
+    see connected_components) and one left join of the universe onto
+    the component map. Unknown decision labels are a hard error (a
+    typo'd 'nonmatch' silently treated as no-op would un-apply a
+    human decision).
+    """
+    bad = (decisions.select("decision").distinct()
+           .where(~F.col("decision").isin("match", "non_match")).collect())
+    if bad:
+        raise ValueError(
+            f"unknown review decision {bad[0][0]!r}: expected "
+            "'match' or 'non_match'"
+        )
+    dec = decisions.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        "decision",
+    ).distinct().localCheckpoint()
+    both = (dec.groupBy("src", "dst")
+            .agg(F.countDistinct("decision").alias("_n"))
+            .where(F.col("_n") > 1).limit(1).collect())
+    if both:
+        raise ValueError(
+            f"conflicting decisions for pair ({both[0][0]!r}, "
+            f"{both[0][1]!r}): both match and non_match"
+        )
+    canon = edges.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+    ).distinct()
+    non_match = dec.where(F.col("decision") == "non_match").select("src", "dst")
+    must_link = dec.where(F.col("decision") == "match").select("src", "dst")
+    new_edges = (
+        canon.join(F.broadcast(non_match), ["src", "dst"], "left_anti")
+        .unionByName(must_link).distinct()
+    )
+    cc = connected_components(new_edges, max_iterations)
+    universe = (
+        assign.select("record_id")
+        .unionByName(dec.select(F.col("src").alias("record_id")))
+        .unionByName(dec.select(F.col("dst").alias("record_id")))
+        .distinct()
+    )
+    assignments = (
+        universe.join(cc, "record_id", "left")
+        .select("record_id",
+                F.coalesce("cluster_id", F.col("record_id")).alias("cluster_id"))
+    )
+    a_l = assignments.select(F.col("record_id").alias("src"),
+                             F.col("cluster_id").alias("_cl"))
+    a_r = assignments.select(F.col("record_id").alias("dst"),
+                             F.col("cluster_id").alias("_cr"))
+    violations = (
+        a_l.join(F.broadcast(non_match), "src")
+        .join(a_r, "dst")
+        .where(F.col("_cl") == F.col("_cr"))
+        .select("src", "dst", F.col("_cl").alias("cluster_id"))
+    )
+    return assignments, violations

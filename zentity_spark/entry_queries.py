@@ -3409,6 +3409,107 @@ ORDER BY p.cluster_id, p.src, p.dst
 """
 
 
+def _review_decisions(spark, sf_dir):
+    """Deterministic decision fixture over the CC subgraph: every edge
+    whose canonical md5 starts with '0' or '1' was reviewed non-match
+    (~1/8 of edges); two must-link pairs merge distant part nodes."""
+    canon = _cc_edges(spark, sf_dir).select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+    ).distinct()
+    nm = canon.where(
+        F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 1).isin("0", "1")
+    ).withColumn("decision", F.lit("non_match"))
+    ml = spark.createDataFrame(
+        [("p1", "p38", "match"), ("p11", "p39", "match")],
+        "src string, dst string, decision string",
+    )
+    return nm.unionByName(ml)
+
+
+def q_review_decisions_applied(spark, sf_dir):
+    """Clerical-review loop closure (clustering.apply_review_decisions):
+    re-cluster the CC subgraph with human decisions applied — reviewed
+    non-match edges removed (transitive paths through OTHER records
+    survive; see violations query), must-link pairs added. Min-id
+    labels over the original universe plus decision endpoints."""
+    from zentity_spark.clustering import (apply_review_decisions,
+                                          connected_components)
+
+    edges = _cc_edges(spark, sf_dir)
+    assign = connected_components(edges)
+    assignments, _ = apply_review_decisions(
+        assign, edges, _review_decisions(spark, sf_dir))
+    return assignments.withColumnRenamed("record_id", "node").orderBy("node")
+
+
+def q_review_decision_violations(spark, sf_dir):
+    """The escalation side of apply_review_decisions: reviewed
+    non-match pairs STILL co-clustered after the rebuild (connected via
+    an independent path) — surfaced for escalation, never silently
+    split (splitting at an arbitrary surviving edge would fabricate a
+    decision no human made)."""
+    from zentity_spark.clustering import (apply_review_decisions,
+                                          connected_components)
+
+    edges = _cc_edges(spark, sf_dir)
+    assign = connected_components(edges)
+    _, violations = apply_review_decisions(
+        assign, edges, _review_decisions(spark, sf_dir))
+    return violations.orderBy("src", "dst")
+
+
+_SQL_REVIEW_COMMON = """e0 AS (
+  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem WHERE l_partkey < 40
+), canon AS (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM e0
+), nm AS (
+  SELECT src, dst FROM canon
+  WHERE substr(md5(src || '|' || dst), 1, 1) IN ('0', '1')
+), ml(src, dst) AS (VALUES ('p1', 'p38'), ('p11', 'p39')),
+e AS (
+  SELECT src, dst FROM (SELECT src, dst FROM canon
+                        EXCEPT SELECT src, dst FROM nm)
+  UNION SELECT src, dst FROM ml
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT sym.src, reach.r FROM sym JOIN reach ON sym.dst = reach.node
+), cc AS (
+  SELECT node, min(r) AS grp FROM reach GROUP BY node
+), univ AS (
+  -- explicit DISTINCT over UNION ALL: under WITH RECURSIVE, DuckDB's
+  -- chained set-op UNION left cross-arm duplicates (observed: the ml
+  -- endpoints appeared twice), so don't rely on UNION's dedup here
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0
+    UNION ALL SELECT src FROM ml UNION ALL SELECT dst FROM ml
+  )
+), asg AS (
+  SELECT u.node, COALESCE(cc.grp, u.node) AS cluster_id
+  FROM univ u LEFT JOIN cc ON cc.node = u.node
+)"""
+
+SQL_REVIEW_DECISIONS_APPLIED = f"""
+WITH RECURSIVE {_SQL_REVIEW_COMMON}
+SELECT node, cluster_id FROM asg ORDER BY node
+"""
+
+SQL_REVIEW_DECISION_VIOLATIONS = f"""
+WITH RECURSIVE {_SQL_REVIEW_COMMON}
+SELECT nm.src, nm.dst, a1.cluster_id
+FROM nm
+JOIN asg a1 ON a1.node = nm.src
+JOIN asg a2 ON a2.node = nm.dst
+WHERE a1.cluster_id = a2.cluster_id
+ORDER BY nm.src, nm.dst
+"""
+
+
 # ----------------------------------------------------------------------
 # Registry
 
@@ -3481,6 +3582,8 @@ def all_queries():
         "stable_entity_ids": q_stable_entity_ids,
         "clerical_review_queue": q_clerical_review_queue,
         "inferred_pairs": q_inferred_pairs,
+        "review_decisions_applied": q_review_decisions_applied,
+        "review_decision_violations": q_review_decision_violations,
         "cluster_graph_metrics": q_cluster_graph_metrics,
         "golden_record": q_golden_record,
         "meta_blocking": q_meta_blocking,
@@ -3561,6 +3664,8 @@ def all_oracles():
         "stable_entity_ids": SQL_STABLE_ENTITY_IDS,
         "clerical_review_queue": SQL_CLERICAL_REVIEW_QUEUE,
         "inferred_pairs": SQL_INFERRED_PAIRS,
+        "review_decisions_applied": SQL_REVIEW_DECISIONS_APPLIED,
+        "review_decision_violations": SQL_REVIEW_DECISION_VIOLATIONS,
         "cluster_graph_metrics": SQL_CLUSTER_GRAPH_METRICS,
         "golden_record": SQL_GOLDEN_RECORD,
         "meta_blocking": SQL_META_BLOCKING,
