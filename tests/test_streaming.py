@@ -645,3 +645,91 @@ def test_incremental_dedup_null_text_and_bad_ids(spark, tmp_path):
         q2.awaitTermination(120)
         if q2.exception():
             raise Exception(str(q2.exception()))
+
+
+# ----- incremental ANN index (streaming twin of banded_lsh_buckets) -----
+
+def _synth_embeddings(spark, n=60, dim=8):
+    """Deterministic synthetic vectors: component j of vector i is a
+    crc32-derived value in [-1, 1] — no RNG, engine-independent."""
+    rows = spark.range(n).select(F.col("id").alias("vec_id"))
+    comps = F.array(*[
+        ((F.crc32(F.concat_ws("_", F.col("vec_id"), F.lit(j))) % 2001)
+         - 1000).cast("double") / 1000.0
+        for j in range(dim)
+    ])
+    return rows.select(
+        "vec_id", F.concat(F.lit("v"), F.col("vec_id")).alias("label"),
+        comps.alias("embedding"),
+    )
+
+
+def test_incremental_ann_index_parity(spark, tmp_path):
+    """The committed incremental index equals batch banded_lsh_buckets
+    row-for-row, and ann_index_query returns exactly
+    ann_topk_bucketed's top-k (same geometry, same tie-break) — while
+    scanning only pruned partitions (probe metrics ≪ corpus)."""
+    from zentity_spark.extras import ann_topk_bucketed, banded_lsh_buckets
+    from zentity_spark.storage import SnapshotStore
+    from zentity_spark.streaming import ann_index_query, incremental_ann_index
+
+    dim, bands, r, n = 8, 4, 4, 60
+    emb = _synth_embeddings(spark, n=n, dim=dim).localCheckpoint()
+    in_dir = str(tmp_path / "in")
+    emb.where(F.col("vec_id") < 40).coalesce(1).write.mode("append").parquet(in_dir)
+    emb.where(F.col("vec_id") >= 40).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (spark.readStream
+              .schema("vec_id long, label string, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out_root = str(tmp_path / "ann")
+    q = incremental_ann_index(spark, stream, out_root, dim=dim, bands=bands,
+                              planes_per_band=r,
+                              checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(240)
+
+    store = SnapshotStore(out_root)
+    got_rows = {
+        (row["vec_id"], row["band"], row["bucket"])
+        for row in store.read_all(spark, "buckets").collect()
+    }
+    want_rows = {
+        (row["vec_id"], row["band"], row["bucket"])
+        for row in banded_lsh_buckets(emb, dim, bands, r).collect()
+    }
+    assert got_rows == want_rows and len(got_rows) == n * bands
+
+    topk, pm = ann_index_query(spark, out_root, query_vec_id=7, k=5,
+                               with_metrics=True)
+    got_k = [(row["vec_id"], row["cosine"]) for row in topk.collect()]
+    want_k = [
+        (row["vec_id"], row["cosine"])
+        for row in ann_topk_bucketed(emb, query_vec_id=7, k=5, dim=dim,
+                                     bands=bands, planes_per_band=r).collect()
+    ]
+    assert got_k == want_k and len(got_k) == 5
+    # pruned probe: the bucket scan reads only touched kb partitions
+    assert 0 < pm["probe_ids"] < n
+    assert pm["bucket_scan_rows"] < n * bands
+    assert pm["vector_scan_rows"] < n
+
+    # multiprobe expands the probe set monotonically
+    _, pm1 = ann_index_query(spark, out_root, query_vec_id=7, k=5,
+                             multiprobe=1, with_metrics=True)
+    assert pm1["probe_ids"] >= pm["probe_ids"]
+
+    # geometry is pinned: reopening with different planes is a hard error
+    stream2 = (spark.readStream
+               .schema("vec_id long, label string, embedding array<double>")
+               .parquet(in_dir))
+    with pytest.raises(Exception, match="was created with"):
+        q2 = incremental_ann_index(
+            spark, stream2, out_root, dim=dim, bands=bands,
+            planes_per_band=r + 1, checkpoint_dir=str(tmp_path / "ck"))
+        q2.awaitTermination(60)
+        if q2.exception():
+            raise Exception(str(q2.exception()))
+
+    # unknown query id is a hard error, not an empty result
+    with pytest.raises(ValueError, match="not found"):
+        ann_index_query(spark, out_root, query_vec_id=10_000)

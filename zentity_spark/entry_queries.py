@@ -1571,6 +1571,78 @@ def _sql_lsh_buckets(n_planes: int = 6, dim: int = 64) -> str:
             "FROM embeddings ORDER BY vec_id")
 
 
+def _build_ann_stream_store(spark, sf_dir, bands=2, r=6, dim=64):
+    """Stream the embeddings table as three micro-batch files into an
+    incremental_ann_index store; returns the store root."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from zentity_spark.streaming import incremental_ann_index
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding")
+    tmp = tempfile.mkdtemp(prefix="zentity_inc_ann_")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    for i in range(3):
+        part_dir = os.path.join(tmp, f"part{i}")
+        e.where(F.crc32(F.col("vec_id").cast("string")) % 3 == i) \
+            .coalesce(1).write.mode("overwrite").parquet(part_dir)
+        (src,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        shutil.move(src, os.path.join(in_dir, f"batch{i}.parquet"))
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = incremental_ann_index(
+        spark, stream, os.path.join(tmp, "out"), dim=dim, bands=bands,
+        planes_per_band=r, checkpoint_dir=os.path.join(tmp, "ck"))
+    q.awaitTermination()
+    return os.path.join(tmp, "out")
+
+
+def q_incremental_ann_index(spark, sf_dir):
+    """Streaming incremental ANN index (streaming.incremental_ann_index)
+    equals the batch banded-LSH table: the embeddings corpus arrives as
+    three micro-batch files, each batch's bucket rows are committed by
+    ONE Arrow matmul over the new vectors only (hash-bucketed by the
+    (band, bucket) probe key — the Iceberg bucket-transform analog),
+    and the committed index must hash-equal banded_lsh_buckets'
+    expression-form oracle row-for-row."""
+    from zentity_spark.storage import SnapshotStore
+    from zentity_spark.streaming import (  # noqa: F401 (store layout doc)
+        incremental_ann_index)
+
+    root = _build_ann_stream_store(spark, sf_dir)
+    store = SnapshotStore(root)
+    return (
+        store.read_all(spark, "buckets")
+        .select("vec_id", "band", "bucket")
+        .orderBy("vec_id", "band")
+    )
+
+
+def _sql_incremental_ann_index(bands: int = 2, r: int = 6,
+                               dim: int = 64) -> str:
+    return (f"SELECT vec_id, band, bucket FROM "
+            f"({_sql_banded_buckets(bands, r, dim)}) "
+            "ORDER BY vec_id, band")
+
+
+def q_ann_index_stream_topk(spark, sf_dir):
+    """Query path of the incremental ANN index: top-k against the
+    COMMITTED store via driver-side query-bucket computation +
+    partition-pruned probe of the touched kb dirs — must equal the
+    batch ann_topk_bucketed oracle exactly (same geometry, rounding,
+    and tie-break)."""
+    from zentity_spark.streaming import ann_index_query
+
+    root = _build_ann_stream_store(spark, sf_dir)
+    return ann_index_query(spark, root, query_vec_id=0, k=10)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: BANDED multi-table hyperplane LSH
     (2 bands × 6 planes here) + capped/salted bucket self-join + exact
@@ -3549,6 +3621,8 @@ def all_queries():
         "simhash_near_dup": q_simhash_near_dup,
         "ann_topk": q_ann_topk,
         "lsh_buckets": q_lsh_buckets,
+        "incremental_ann_index": q_incremental_ann_index,
+        "ann_index_stream_topk": q_ann_index_stream_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -3631,6 +3705,8 @@ def all_oracles():
         "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
         "ann_topk": SQL_ANN_TOPK,
         "lsh_buckets": _sql_lsh_buckets(),
+        "incremental_ann_index": _sql_incremental_ann_index(),
+        "ann_index_stream_topk": _sql_ann_lsh_topk(),
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         "embedding_near_dup": _sql_embedding_near_dup(),

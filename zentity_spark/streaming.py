@@ -32,6 +32,14 @@ continuously-arriving transcript corpus (input_hint shape) is:
                             group assignments maintained through the
                             same incremental union-find delta log as
                             incremental_resolve's delta mode.
+  incremental_ann_index     foreachBatch incremental banded
+                            hyperplane-LSH index: new vectors' bucket
+                            rows committed per micro-batch (one Arrow
+                            matmul), hash-bucketed by the (band,
+                            bucket) probe key; ann_index_query answers
+                            top-k against the COMMITTED index through
+                            partition-pruned probes — O(batch) writes,
+                            O(probe set) queries.
 
 Scale notes: the streaming path reuses the batch operators' plan shapes
 (skinny blocking rows, broadcast model mapping, capped blocks). State
@@ -1121,3 +1129,224 @@ def current_keepers(spark: SparkSession, store) -> DataFrame | None:
         .select("doc_id", "group_id",
                 (F.col("doc_id") == F.col("group_id")).alias("kept"))
     )
+
+
+# ----------------------------------------------------------------------
+# Incremental ANN index maintenance: the streaming twin of
+# extras.banded_lsh_buckets + ann_topk_bucketed. New vectors' banded
+# hyperplane-LSH bucket rows are committed per micro-batch to a
+# hash-bucketed append table (the Iceberg bucket-transform analog), and
+# queries probe the COMMITTED index through partition-pruned scans —
+# index maintenance is O(batch), a query is O(probe set), and neither
+# ever rebuilds or rescans the accumulated corpus.
+
+
+def _ann_geometry_token(dim: int, bands: int, planes_per_band: int) -> str:
+    """The index geometry, serialized VERBATIM into the store meta's
+    fingerprint slot — pinning it (committed sign patterns are only
+    comparable under the same planes) AND letting ann_index_query
+    recover the exact values instead of trusting caller-supplied ones."""
+    return json.dumps({"dim": dim, "bands": bands, "r": planes_per_band},
+                      sort_keys=True, separators=(",", ":"))
+
+
+def incremental_ann_index(spark: SparkSession, stream_embeddings: DataFrame,
+                          output_root: str, dim: int = 64, bands: int = 16,
+                          planes_per_band: int = 8,
+                          checkpoint_dir: str | None = None,
+                          n_buckets: int = 64, metrics: bool = True,
+                          maintain_every: int | None = 1,
+                          rebind_checkpoint: bool = False):
+    """foreachBatch incremental banded hyperplane-LSH index. Committed
+    tables (append snapshots):
+
+      buckets   (vec_id, band, bucket, ckey) — one row per vector per
+                band, exactly extras.banded_lsh_buckets' rows; hash-
+                bucketed by the int64 (band, bucket) probe key (`kb`),
+                so a query touching b band-buckets prunes to ≤ b
+                partition dirs regardless of corpus size
+      vectors   (vec_id, label, embedding, nrm) hash-bucketed by vec_id
+                (`rb`) — probe-time match material fetched by id; norms
+                precomputed once at ingest (extras.vec_norm)
+      stream_metrics / batch_done
+
+    Per micro-batch: ONE Arrow matmul computes every band's bucket for
+    the NEW vectors only (extras._banded_buckets_udf — the plan shape
+    PLANS.md rule 11 measured 57× over inlined expressions), both
+    tables committed bucketed, done. No corpus-sized work exists on the
+    write path; replays are fingerprint-idempotent; resume rules are
+    _bind_checkpoint_lineage's; the geometry (dim/bands/r) is pinned in
+    the store meta and recovered by ann_index_query. A vec_id is
+    expected to arrive exactly once across the stream's lifetime.
+    Queries: ann_index_query."""
+    from zentity_spark.extras import _banded_buckets_udf, vec_norm
+    from zentity_spark.storage import SnapshotStore
+
+    _check_stream_meta(output_root, n_buckets, "ann",
+                       _ann_geometry_token(dim, bands, planes_per_band))
+    store = SnapshotStore(output_root)
+    _bind_checkpoint_lineage(
+        output_root, checkpoint_dir,
+        has_batches=bool(store.snapshots("batch_done")),
+        rebind=rebind_checkpoint,
+    )
+    udf = _banded_buckets_udf(dim, bands, planes_per_band)
+
+    def process_batch(batch_emb, batch_id: int):
+        fp = f"batch-{batch_id}"
+        if store.contains_fingerprint("batch_done", fp):
+            return  # replayed batch after restart: fully committed
+        vecs = batch_emb.select(
+            "vec_id", "label", "embedding",
+            vec_norm(F.col("embedding")).alias("nrm"),
+        ).dropDuplicates(["vec_id"]).localCheckpoint()
+        _commit_once(
+            store,
+            vecs.withColumn("rb", _bucket_of("vec_id", n_buckets)),
+            "vectors", "vectors", fp, partition_by=["rb"])
+        rows = vecs.select(
+            "vec_id", udf(F.col("embedding")).alias("_buckets")
+        ).select(
+            "vec_id", F.posexplode("_buckets").alias("band", "bucket")
+        ).select(
+            "vec_id", F.col("band").cast("int").alias("band"), "bucket",
+            F.xxhash64(F.concat_ws(
+                "|", F.col("band").cast("int"), "bucket")).alias("ckey"),
+        ).localCheckpoint()
+        _commit_once(
+            store,
+            rows.withColumn("kb", _bucket_of("ckey", n_buckets)),
+            "buckets", "buckets", fp, partition_by=["kb"])
+        if metrics:
+            m = spark.createDataFrame(
+                [(int(batch_id), int(vecs.count()), int(rows.count()))],
+                "batch_id long, batch_vectors long, bucket_rows long",
+            )
+            _commit_once(store, m, "stream_metrics", "stream_metrics", fp)
+        done = spark.createDataFrame([(int(batch_id),)], "batch_id long")
+        _commit_once(store, done, "batch_done", "batch_done", fp)
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            for tbl, pb in [("buckets", ["kb"]), ("vectors", ["rb"]),
+                            ("stream_metrics", None), ("batch_done", None)]:
+                store.maintain(spark, tbl, partition_by=pb)
+
+    writer = stream_embeddings.writeStream.foreachBatch(process_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
+def ann_index_query(spark: SparkSession, output_root: str,
+                    query_vec_id: int, k: int = 10,
+                    multiprobe: int = 0, with_metrics: bool = False):
+    """Top-k cosine query against a committed incremental_ann_index
+    store WITHOUT rescanning the corpus:
+
+      1. the query vector is fetched by rb-pruned scan of `vectors`
+         (one partition dir);
+      2. its per-band buckets are computed DRIVER-SIDE with the same
+         numpy matmul + sign packing as the index writer (model-sized:
+         one dim-vector against the cached plane matrix; geometry
+         recovered from the store's pinned meta, so a query can't
+         silently probe with the wrong planes); multiprobe=1 expands
+         each band bucket to its Hamming-1 neighborhood
+         (extras.multiprobe_bucket_variants semantics);
+      3. the probe set is a PARTITION-PRUNED read of `buckets` over the
+         ≤ bands·(r+1) touched kb dirs + a broadcast join on the
+         (band, bucket) key;
+      4. match material is fetched by rb-pruned scan of `vectors` for
+         the probe ids; exact cosine from precomputed norms;
+         deterministic top-k (desc cosine, asc vec_id); query excluded.
+
+    Query cost ∝ probe-set size — the kb dirs touched are bounded by
+    the query's bucket count, never the corpus. Returns the top-k
+    DataFrame (vec_id, label, cosine), or (df, metrics_dict) with
+    scanned-row counts when with_metrics=True."""
+    import numpy as np
+
+    from zentity_spark.extras import _plane_matrix, cosine_from_norms
+    from zentity_spark.storage import SnapshotStore
+
+    with open(os.path.join(output_root, _STREAM_META)) as fh:
+        meta = json.load(fh)
+    if meta.get("clusters_mode") != "ann":
+        raise ValueError(
+            f"{output_root} is not an incremental_ann_index store")
+    geo = json.loads(meta["model_fingerprint"])
+    dim, bands, r = geo["dim"], geo["bands"], geo["r"]
+    n_buckets = meta["n_buckets"]
+    store = SnapshotStore(output_root)
+
+    qid = spark.createDataFrame([(int(query_vec_id),)], "vec_id long")
+    qscan = _read_bucket_dirs(spark, store, "vectors", "rb",
+                              _touched_buckets(qid, "vec_id", n_buckets))
+    qrow = (qscan.where(F.col("vec_id") == query_vec_id)
+            .select("embedding", "nrm").limit(1).collect()
+            if qscan is not None else [])
+    if not qrow:
+        raise ValueError(f"vec_id {query_vec_id} not found in the index")
+    qvec, qnrm = qrow[0][0], float(qrow[0][1])
+
+    # driver-side buckets: identical math to the writer's Arrow pass
+    x = np.asarray(qvec, dtype="float64")
+    m = _plane_matrix(dim, bands * r)
+    bits = (x @ m) > 0
+    w = np.left_shift(np.int64(1), np.arange(r, dtype="int64"))
+    probes = []
+    for b in range(bands):
+        bucket = int(bits[b * r:(b + 1) * r].astype("int64") @ w)
+        probes.append((b, bucket))
+        if multiprobe >= 1:
+            probes.extend((b, bucket ^ (1 << i)) for i in range(r))
+    probe_df = spark.createDataFrame(
+        sorted(set(probes)), "band int, bucket long"
+    ).withColumn(
+        "ckey", F.xxhash64(F.concat_ws("|", "band", "bucket"))
+    ).localCheckpoint()
+
+    bscan = _read_bucket_dirs(spark, store, "buckets", "kb",
+                              _touched_buckets(probe_df, "ckey", n_buckets))
+    if bscan is None:
+        empty = spark.createDataFrame(
+            [], "vec_id long, label string, cosine double")
+        return (empty, {"probe_ids": 0, "bucket_scan_rows": 0,
+                        "vector_scan_rows": 0}) if with_metrics else empty
+    bscan = bscan.localCheckpoint()
+    bucket_scan_rows = bscan.count() if with_metrics else None
+    probe_ids = (
+        bscan.join(F.broadcast(probe_df.select("band", "bucket")),
+                   ["band", "bucket"])
+        .where(F.col("vec_id") != query_vec_id)
+        .select("vec_id").distinct().localCheckpoint()
+    )
+    vscan = _read_bucket_dirs(spark, store, "vectors", "rb",
+                              _touched_buckets(probe_ids, "vec_id",
+                                               n_buckets))
+    if vscan is None:
+        empty = spark.createDataFrame(
+            [], "vec_id long, label string, cosine double")
+        return (empty, {"probe_ids": 0,
+                        "bucket_scan_rows": int(bucket_scan_rows or 0),
+                        "vector_scan_rows": 0}) if with_metrics else empty
+    vscan = vscan.localCheckpoint()
+    vector_scan_rows = vscan.count() if with_metrics else None
+    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    out = (
+        vscan.join(probe_ids, "vec_id")
+        .select(
+            "vec_id", "label",
+            F.round(
+                cosine_from_norms(F.col("embedding"), qlit,
+                                  F.col("nrm"), F.lit(qnrm)), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+    if with_metrics:
+        return out, {
+            "probe_ids": probe_ids.count(),
+            "bucket_scan_rows": int(bucket_scan_rows or 0),
+            "vector_scan_rows": int(vector_scan_rows or 0),
+        }
+    return out
