@@ -1,0 +1,192 @@
+"""chunk_documents / shard_corpus / muc_metrics unit tests.
+
+chunk_documents: boundary math (coverage, overlap, no redundant-suffix
+chunks), degenerate inputs. shard_corpus: determinism, ±1 balance,
+round-robin positions. muc_metrics: hand-worked Vilain et al. vectors
+and degenerate clusterings.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestChunkDocuments:
+    def test_boundary_math(self, spark):
+        from zentity_spark.extras import chunk_documents
+
+        words = [f"w{i}" for i in range(10)]
+        d = _docs(spark, [(1, " ".join(words))])
+        out = chunk_documents(d, window=8, stride=2).orderBy("chunk_idx")
+        rows = out.collect()
+        # n=10, w=8, s=2: starts 0 and 2 cover everything; starts 4/6/8
+        # would be pure suffixes of the start-2 chunk
+        assert [(r.chunk_idx, r.start, r.n_tokens) for r in rows] == [
+            (0, 0, 8), (1, 2, 8)]
+        assert rows[0].chunk_text == " ".join(words[0:8])
+        assert rows[1].chunk_text == " ".join(words[2:10])
+
+    def test_short_doc_single_chunk(self, spark):
+        from zentity_spark.extras import chunk_documents
+
+        d = _docs(spark, [(1, "a b c")])
+        rows = chunk_documents(d, window=8, stride=2).collect()
+        assert len(rows) == 1
+        assert (rows[0].start, rows[0].n_tokens, rows[0].chunk_text) == (
+            0, 3, "a b c")
+
+    def test_empty_and_null_yield_nothing(self, spark):
+        from zentity_spark.extras import chunk_documents
+
+        d = _docs(spark, [(1, ""), (2, "   "), (3, None), (4, "x")])
+        rows = chunk_documents(d, window=4).collect()
+        assert [(r.doc_id, r.chunk_text) for r in rows] == [(4, "x")]
+
+    def test_disjoint_stride_covers_exactly(self, spark):
+        from zentity_spark.extras import chunk_documents
+
+        words = [f"t{i}" for i in range(23)]
+        d = _docs(spark, [(1, " ".join(words))])
+        rows = chunk_documents(d, window=5, stride=5).orderBy(
+            "chunk_idx").collect()
+        # disjoint chunks partition the token stream
+        rebuilt = " ".join(r.chunk_text for r in rows)
+        assert rebuilt == " ".join(words)
+        assert [r.n_tokens for r in rows] == [5, 5, 5, 5, 3]
+
+    def test_final_chunk_reaches_end(self, spark):
+        from zentity_spark.extras import chunk_documents
+
+        for n in (9, 10, 11, 16, 17):
+            words = [str(i) for i in range(n)]
+            d = _docs(spark, [(1, " ".join(words))])
+            rows = chunk_documents(d, window=8, stride=3).orderBy(
+                "chunk_idx").collect()
+            last = rows[-1]
+            assert last.start + last.n_tokens == n  # covers the end
+            # no chunk starts at/after a position already fully covered
+            assert all(r.start == i * 3 for i, r in enumerate(rows))
+            assert rows[-1].start <= max(n - 8, 0) + 2
+
+    def test_validation(self, spark):
+        from zentity_spark.extras import chunk_documents
+
+        d = _docs(spark, [(1, "x")])
+        with pytest.raises(ValueError):
+            chunk_documents(d, window=0)
+        with pytest.raises(ValueError):
+            chunk_documents(d, window=4, stride=0)
+
+
+class TestShardCorpus:
+    def test_balance_and_positions(self, spark):
+        from zentity_spark.extras import shard_corpus
+
+        d = spark.range(100).select(F.col("id").alias("doc_id"))
+        out = shard_corpus(d, n_shards=7).collect()
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r.shard, []).append(r)
+        sizes = sorted(len(v) for v in by_shard.values())
+        assert max(sizes) - min(sizes) <= 1 and sum(sizes) == 100
+        for rows in by_shard.values():
+            pos = sorted(r.pos_in_shard for r in rows)
+            assert pos == list(range(len(rows)))  # contiguous from 0
+        # round-robin: rank r lands in shard (r-1) % 7
+        assert all(r.shard == (r.rank - 1) % 7 for r in out)
+
+    def test_deterministic(self, spark):
+        from zentity_spark.extras import shard_corpus
+
+        d = spark.range(50).select(F.col("id").alias("doc_id"))
+        a = {r.doc_id: (r.rank, r.shard) for r in shard_corpus(d, 3).collect()}
+        b = {r.doc_id: (r.rank, r.shard) for r in
+             shard_corpus(d.repartition(7), 3).collect()}
+        assert a == b
+
+    def test_salt_changes_order(self, spark):
+        from zentity_spark.extras import shard_corpus
+
+        d = spark.range(50).select(F.col("id").alias("doc_id"))
+        a = {r.doc_id: r.rank for r in shard_corpus(d, 3).collect()}
+        b = {r.doc_id: r.rank for r in
+             shard_corpus(d, 3, salt="other").collect()}
+        assert a != b
+
+    def test_validation(self, spark):
+        from zentity_spark.extras import shard_corpus
+
+        d = spark.range(3).select(F.col("id").alias("doc_id"))
+        with pytest.raises(ValueError):
+            shard_corpus(d, 0)
+
+
+def _clustering(spark, pairs, label):
+    return spark.createDataFrame(
+        [(i, c) for i, c in pairs], f"record_id string, {label} string")
+
+
+class TestMucMetrics:
+    def test_vilain_over_merge(self, spark):
+        from zentity_spark.clustering import muc_metrics
+
+        # pred merges {a,b} and {c} into one cluster: MUC recall 1.0
+        # (both gold links present), precision 1/2 (one of the two pred
+        # links crosses a gold boundary)
+        pred = _clustering(spark, [("a", "x"), ("b", "x"), ("c", "x")],
+                           "cluster_id")
+        gold = _clustering(spark, [("a", "g1"), ("b", "g1"), ("c", "g2")],
+                           "gold_id")
+        r = muc_metrics(pred, gold).collect()[0]
+        assert r.n_records == 3
+        assert r.muc_recall == pytest.approx(1.0)
+        assert r.muc_precision == pytest.approx(0.5)
+        assert r.muc_f1 == pytest.approx(2 * 0.5 / 1.5)
+
+    def test_symmetry_under_swap(self, spark):
+        from zentity_spark.clustering import muc_metrics
+
+        pred = _clustering(spark, [("a", "x"), ("b", "x"), ("c", "y"),
+                                   ("d", "y"), ("e", "y")], "cluster_id")
+        gold = _clustering(spark, [("a", "1"), ("b", "2"), ("c", "2"),
+                                   ("d", "1"), ("e", "1")], "gold_id")
+        m1 = muc_metrics(pred, gold).collect()[0]
+        m2 = muc_metrics(
+            gold.select("record_id", F.col("gold_id").alias("cluster_id")),
+            pred.select("record_id", F.col("cluster_id").alias("gold_id")),
+        ).collect()[0]
+        assert m1.muc_precision == pytest.approx(m2.muc_recall)
+        assert m1.muc_recall == pytest.approx(m2.muc_precision)
+
+    def test_perfect_and_singletons(self, spark):
+        from zentity_spark.clustering import muc_metrics
+
+        pred = _clustering(spark, [("a", "x"), ("b", "x"), ("c", "y")],
+                           "cluster_id")
+        gold = _clustering(spark, [("a", "g"), ("b", "g"), ("c", "h")],
+                           "gold_id")
+        r = muc_metrics(pred, gold).collect()[0]
+        assert (r.muc_precision, r.muc_recall, r.muc_f1) == (1.0, 1.0, 1.0)
+
+        singles = _clustering(
+            spark, [("a", "1"), ("b", "2"), ("c", "3")], "cluster_id")
+        gold_s = _clustering(
+            spark, [("a", "1"), ("b", "2"), ("c", "3")], "gold_id")
+        r2 = muc_metrics(singles, gold_s).collect()[0]
+        # all-singleton: MUC undefined → 0.0 by the CoNLL convention
+        assert (r2.muc_precision, r2.muc_recall, r2.muc_f1) == (
+            0.0, 0.0, 0.0)
+
+    def test_missing_records_dropped(self, spark):
+        from zentity_spark.clustering import muc_metrics
+
+        pred = _clustering(spark, [("a", "x"), ("b", "x"), ("z", "q")],
+                           "cluster_id")
+        gold = _clustering(spark, [("a", "g"), ("b", "g"), ("w", "h")],
+                           "gold_id")
+        r = muc_metrics(pred, gold).collect()[0]
+        assert r.n_records == 2
+        assert (r.muc_precision, r.muc_recall) == (1.0, 1.0)

@@ -421,6 +421,68 @@ def pairwise_cluster_metrics(pred: DataFrame, gold: DataFrame,
     )
 
 
+def muc_metrics(pred: DataFrame, gold: DataFrame,
+                id_col: str = "record_id",
+                pred_col: str = "cluster_id",
+                gold_col: str = "gold_id") -> DataFrame:
+    """MUC link-based clustering quality (Vilain et al. 1995) — the
+    third standard coreference/ER metric next to pairwise F1 and
+    B-cubed (bcubed_metrics, pairwise_cluster_metrics), completing the
+    family: MUC counts the minimum link edits, so it rewards/penalizes
+    merges and splits per BOUNDARY rather than per member pair.
+
+      recall    = Σ_g (|g| − p(g)) / Σ_g (|g| − 1)   where p(g) = how
+                  many predicted clusters class g's members fall into
+      precision = the mirror image with pred/gold swapped
+
+    Everything folds out of the same (cluster, class) contingency table
+    as the sibling metrics: p(g) is the per-class row count, |g| the
+    per-class n_cg sum — three keyed aggregations, no per-record state
+    survives the first groupBy, shuffles bounded by distinct (cluster,
+    class) co-occurrences, never records. Records missing from either
+    side are inner-join-dropped (same scoreability rule as the
+    siblings). All-singleton inputs make a denominator 0; both ratios
+    report 0.0 then (the CoNLL scorer convention — MUC is undefined on
+    link-free clusterings, and 0 keeps downstream f1 folds total).
+    → ONE row (n_records, muc_precision, muc_recall, muc_f1).
+    """
+    t = (
+        pred.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_c"))
+        .join(
+            gold.select(F.col(id_col).alias("_id"), F.col(gold_col).alias("_g")),
+            "_id",
+        )
+    )
+    cont = t.groupBy("_c", "_g").agg(F.count("*").alias("n_cg"))
+    per_g = cont.groupBy("_g").agg(
+        F.sum("n_cg").alias("n_g"), F.count("*").alias("p_g"))
+    per_c = cont.groupBy("_c").agg(
+        F.sum("n_cg").alias("n_c"), F.count("*").alias("p_c"))
+    r = per_g.agg(
+        F.sum("n_g").alias("n"),
+        F.sum(F.col("n_g") - F.col("p_g")).alias("r_num"),
+        F.sum(F.col("n_g") - 1).alias("r_den"),
+    )
+    p = per_c.agg(
+        F.sum(F.col("n_c") - F.col("p_c")).alias("p_num"),
+        F.sum(F.col("n_c") - 1).alias("p_den"),
+    )
+    j = r.crossJoin(p)
+    prec = F.when(F.col("p_den") > 0,
+                  F.col("p_num").cast("double") / F.col("p_den")
+                  ).otherwise(F.lit(0.0))
+    rec = F.when(F.col("r_den") > 0,
+                 F.col("r_num").cast("double") / F.col("r_den")
+                 ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("n").cast("long").alias("n_records"),
+        prec.alias("muc_precision"),
+        rec.alias("muc_recall"),
+        F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
+         .otherwise(F.lit(0.0)).alias("muc_f1"),
+    )
+
+
 def threshold_sweep(scored: DataFrame, score_col: str,
                     label_col: str) -> DataFrame:
     """Precision/recall/F1 at EVERY distinct score threshold in one

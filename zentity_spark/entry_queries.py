@@ -2891,6 +2891,126 @@ FROM j
 """
 
 
+def q_muc_lsh(spark, sf_dir):
+    """MUC link-based P/R/F1 (Vilain et al. 1995) of the LSH bucket
+    assignment vs the embeddings gold labels — the third extrinsic
+    clustering metric next to bcubed_lsh and cluster_eval, same
+    fixture so the three are directly comparable. Folded entirely from
+    the (cluster, class) contingency table
+    (clustering.muc_metrics)."""
+    from zentity_spark.clustering import muc_metrics
+    from zentity_spark.extras import ann_lsh_buckets
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = ann_lsh_buckets(e, dim=64, n_planes=6).localCheckpoint()
+    pred = b.select(F.col("vec_id").alias("record_id"),
+                    F.col("bucket").alias("cluster_id"))
+    gold = b.select(F.col("vec_id").alias("record_id"),
+                    F.col("label").cast("long").alias("gold_id"))
+    return muc_metrics(pred, gold)
+
+
+def _sql_muc_lsh() -> str:
+    buckets = _sql_lsh_buckets().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH b AS ({buckets}),
+cont AS (
+  SELECT bucket AS c, CAST(label AS BIGINT) AS g, count(*) AS n_cg
+  FROM b GROUP BY 1, 2
+), pg AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(n_g - p_g) AS BIGINT) AS r_num,
+         CAST(sum(n_g - 1) AS BIGINT) AS r_den
+  FROM (SELECT g, sum(n_cg) AS n_g, count(*) AS p_g FROM cont GROUP BY g)
+), pc AS (
+  SELECT CAST(sum(n_c - p_c) AS BIGINT) AS p_num,
+         CAST(sum(n_c - 1) AS BIGINT) AS p_den
+  FROM (SELECT c, sum(n_cg) AS n_c, count(*) AS p_c FROM cont GROUP BY c)
+), m AS (
+  SELECT n,
+         CASE WHEN p_den > 0 THEN p_num / CAST(p_den AS DOUBLE)
+              ELSE 0.0 END AS muc_precision,
+         CASE WHEN r_den > 0 THEN r_num / CAST(r_den AS DOUBLE)
+              ELSE 0.0 END AS muc_recall
+  FROM pg, pc
+)
+SELECT n AS n_records, muc_precision, muc_recall,
+       CASE WHEN muc_precision + muc_recall > 0
+            THEN 2 * muc_precision * muc_recall
+                 / (muc_precision + muc_recall)
+            ELSE 0.0 END AS muc_f1
+FROM m
+"""
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window document chunking (extras.chunk_documents):
+    24-token windows advancing by 16 (8-token overlap) over the
+    documents corpus — the stage that turns long documents into
+    model-sized training/retrieval pieces. Pure column expressions;
+    the oracle replays the identical start-position arithmetic and
+    1-based inclusive list slicing in DuckDB, so the hash match proves
+    the boundary math AND the chunk text byte-for-byte."""
+    from zentity_spark.extras import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(d, window=24, stride=16).orderBy(
+        "doc_id", "chunk_idx")
+
+
+SQL_DOC_CHUNKS = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), s AS (
+  SELECT doc_id, words, len(words) AS n FROM w
+), st AS (
+  SELECT doc_id, words,
+         unnest(range(0, greatest(n - 24 + 16, 1), 16)) AS start
+  FROM s
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1
+            AS INT) AS chunk_idx,
+       CAST(start AS INT) AS start,
+       CAST(len(words[start + 1 : start + 24]) AS INT) AS n_tokens,
+       array_to_string(words[start + 1 : start + 24], ' ') AS chunk_text
+FROM st
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def q_corpus_shards(spark, sf_dir):
+    """Deterministic shuffle + shard assignment for training export
+    (extras.shard_corpus): global order by md5(salt:doc_id), 7-way
+    round-robin sharding. The rank comes from the two-pass distributed
+    global_rank (no single-partition window); the oracle recomputes
+    the same keyed hash and round-robin arithmetic with a plain SQL
+    row_number at test scale."""
+    from zentity_spark.extras import shard_corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return shard_corpus(d, n_shards=7).orderBy("rank")
+
+
+SQL_CORPUS_SHARDS = """
+WITH k AS (
+  SELECT doc_id,
+         md5('zshard1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+), r AS (
+  SELECT doc_id, shuffle_key,
+         CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+              AS BIGINT) AS rank
+  FROM k
+)
+SELECT doc_id, shuffle_key, rank,
+       CAST((rank - 1) % 7 AS INT) AS shard,
+       CAST((rank - 1) // 7 AS BIGINT) AS pos_in_shard
+FROM r ORDER BY rank
+"""
+
+
 def q_fellegi_sunter(spark, sf_dir):
     """Fellegi–Sunter probabilistic linkage (1969; the Splink model):
     sorted-neighborhood candidate pairs over customer (ordered by
@@ -3663,6 +3783,9 @@ def all_queries():
         "meta_blocking": q_meta_blocking,
         "bcubed_lsh": q_bcubed_lsh,
         "cluster_eval": q_cluster_eval,
+        "muc_lsh": q_muc_lsh,
+        "doc_chunks": q_doc_chunks,
+        "corpus_shards": q_corpus_shards,
         "pricing_summary": q_pricing_summary,
         "top_events": q_top_events,
         "sessionize": q_sessionize,
@@ -3747,6 +3870,9 @@ def all_oracles():
         "meta_blocking": SQL_META_BLOCKING,
         "bcubed_lsh": _sql_bcubed_lsh(),
         "cluster_eval": _sql_cluster_eval(),
+        "muc_lsh": _sql_muc_lsh(),
+        "doc_chunks": SQL_DOC_CHUNKS,
+        "corpus_shards": SQL_CORPUS_SHARDS,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_events": SQL_TOP_EVENTS,
         "sessionize": SQL_SESSIONIZE,

@@ -1588,6 +1588,109 @@ def vocab_stats(docs: DataFrame, text_col: str = "text",
 
 
 # ----------------------------------------------------------------------
+# Document chunking: fixed-token sliding windows with overlap — the
+# stage between cleaning and packing that turns long documents into
+# model-sized pieces (for training sequences or retrieval passages).
+
+def chunk_documents(docs: DataFrame, window: int = 256,
+                    stride: int | None = None, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split each document into whitespace-token windows of `window`
+    tokens advancing by `stride` (overlap = window − stride; stride
+    defaults to window → disjoint chunks).
+
+    Start positions are 0, stride, 2·stride, … up to the FIRST start
+    whose window reaches the document end (the smallest multiple of
+    stride ≥ n − window) — so every token is covered, the final chunk
+    may be short (> window − stride tokens), and no chunk is a pure
+    suffix of its predecessor (starts past n − window + stride − 1
+    would re-emit already-covered tails). A document of ≤ window
+    tokens yields exactly one chunk; empty/NULL text yields none.
+
+    Pure column expressions — split once, sequence() of starts,
+    posexplode, slice — no UDF, no shuffle beyond the explode (map-side
+    only: output partitioning follows the input). Per-row memory is one
+    document's token array, the same bound every other text op here
+    carries. Returns (doc_id, chunk_idx, start, n_tokens, chunk_text);
+    chunk_text re-joins tokens with single spaces (whitespace runs are
+    not preserved — chunking is a tokenizer-adjacent op, and the
+    separator normalization is what makes chunk boundaries
+    reproducible across engines).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    stride = window if stride is None else stride
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    words = F.when(
+        F.length(F.trim(F.col(text_col))) > 0,
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(F.col("_words"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(n - window + stride - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), words.alias("_words"))
+        .where(F.size(F.col("_words")) > 0)
+        .select("doc_id", "_words",
+                F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id", "chunk_idx", "start",
+            F.size(F.slice(F.col("_words"), F.col("start") + 1, window))
+             .alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("_words"), F.col("start") + 1, window), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Corpus sharding: deterministic pseudo-random global shuffle + shard
+# assignment — the export stage that turns a curated corpus into the
+# fixed shard files a training job streams.
+
+def shard_corpus(docs: DataFrame, n_shards: int,
+                 id_col: str = "doc_id", salt: str = "zshard1") -> DataFrame:
+    """Assign every document a (shard, pos_in_shard) under a
+    deterministic global shuffle: order = md5(salt ‖ ':' ‖ id) with id
+    as tiebreak (same keyed-hash determinism discipline as
+    stratified_sample — identical across engines and task retries,
+    unlike df.orderBy(rand())), shard = (rank−1) mod n_shards,
+    pos_in_shard = (rank−1) div n_shards. Round-robin over the shuffled
+    order makes every shard an interleaved sample of the shuffled
+    corpus with sizes balanced to ±1 document — no shard-level skew no
+    matter how the input was laid out.
+
+    The global rank comes from blocking.global_rank (repartitionByRange
+    + per-partition counts + broadcast offsets — the scalable
+    zipWithIndex shape), so nothing materializes a single-partition
+    window at 10¹² docs. Returns the input columns plus
+    (shuffle_key, rank, shard, pos_in_shard); writers partition the
+    output by `shard` and sort by `pos_in_shard` within each.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from zentity_spark.blocking import global_rank
+
+    keyed = docs.withColumn(
+        "shuffle_key",
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+    )
+    ranked = global_rank(keyed, ["shuffle_key", id_col])
+    return ranked.select(
+        *docs.columns, "shuffle_key", "rank",
+        ((F.col("rank") - 1) % n_shards).cast("int").alias("shard"),
+        # integer DIV, not float /: a double quantizes ranks past 2^53
+        F.expr(f"CAST((rank - 1) DIV {int(n_shards)} AS BIGINT)")
+         .alias("pos_in_shard"),
+    )
+
+
+# ----------------------------------------------------------------------
 # Sequence packing: greedy first-fit-sequential packing of documents
 # into fixed token budgets — the sample-packing stage that turns a
 # filtered corpus into dense training sequences.
