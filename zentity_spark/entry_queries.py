@@ -3011,6 +3011,145 @@ FROM r ORDER BY rank
 """
 
 
+def q_entity_timeline(spark, sf_dir):
+    """SCD2-style attribute history across three resolution runs
+    (fusion.entity_timeline): runs 1–3 observe each customer's
+    latest-order status at successive cutoff dates, so real value
+    transitions (O → F, P appearing mid-history) produce multi-interval
+    timelines. The oracle replays the identical lag/segment
+    gaps-and-islands recurrence in SQL."""
+    from zentity_spark.fusion import entity_timeline
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    runs = None
+    for i, cutoff in enumerate(
+            ("1993-06-30", "1995-12-31", "1998-12-31"), 1):
+        r = (
+            o.where(F.col("o_orderdate") <= F.lit(cutoff))
+            .groupBy("o_custkey")
+            .agg(F.max(F.struct(
+                "o_orderdate", "o_orderkey", "o_orderstatus")).alias("m"))
+            .select(
+                F.col("o_custkey").alias("entity_id"),
+                F.lit(i).alias("run_seq"),
+                F.lit("latest_status").alias("attr"),
+                F.col("m.o_orderstatus").alias("value"),
+            )
+        )
+        runs = r if runs is None else runs.unionByName(r)
+    return entity_timeline(runs).orderBy("entity_id", "attr", "first_run")
+
+
+def _sql_timeline_run(i: int, cutoff: str) -> str:
+    return f"""
+  SELECT CAST({i} AS BIGINT) AS run_seq, o_custkey AS entity_id,
+         'latest_status' AS attr, o_orderstatus AS value
+  FROM orders WHERE o_orderdate <= '{cutoff}'
+  QUALIFY row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC,
+                                      o_orderkey DESC) = 1"""
+
+
+SQL_ENTITY_TIMELINE = f"""
+WITH runs AS (
+{_sql_timeline_run(1, "1993-06-30")}
+  UNION ALL
+{_sql_timeline_run(2, "1995-12-31")}
+  UNION ALL
+{_sql_timeline_run(3, "1998-12-31")}
+), lagged AS (
+  SELECT *,
+         lag(value) OVER (PARTITION BY entity_id, attr
+                          ORDER BY run_seq) AS prev,
+         row_number() OVER (PARTITION BY entity_id, attr
+                            ORDER BY run_seq) AS rn
+  FROM runs
+), seg AS (
+  SELECT run_seq, entity_id, attr, value,
+         sum(CASE WHEN rn = 1 OR value IS DISTINCT FROM prev
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY entity_id, attr ORDER BY run_seq) AS s
+  FROM lagged
+), iv AS (
+  SELECT entity_id, attr, min(value) AS value,
+         min(run_seq) AS first_run, max(run_seq) AS last_run,
+         CAST(count(*) AS BIGINT) AS n_runs
+  FROM seg GROUP BY entity_id, attr, s
+)
+SELECT entity_id, attr, value, first_run, last_run, n_runs,
+       last_run = max(last_run) OVER (PARTITION BY entity_id, attr)
+         AS is_current
+FROM iv ORDER BY entity_id, attr, first_run
+"""
+
+
+def q_boilerplate_strip(spark, sf_dir):
+    """Per-source boilerplate line removal (extras.strip_boilerplate,
+    the CCNet/C4-style cleaning pass). Fixture: each document gains a
+    NAV header (shared by ALL docs of its source → stripped at the 0.6
+    doc-frequency threshold) and every third doc a PROMO line (~1/3 of
+    the source → kept), around its original unique body. The oracle
+    replays the frequency table and the order-preserving
+    reconstruction, so the hash proves the thresholds AND the rebuilt
+    text byte-for-byte."""
+    from zentity_spark.extras import strip_boilerplate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fixture = d.where(F.col("text").isNotNull()).select(
+        "doc_id", "source",
+        F.concat(
+            F.lit("NAV "), F.col("source"), F.lit("\n"),
+            F.col("text"), F.lit("\n"),
+            F.when(F.expr("(doc_id DIV 20) % 3 = 0"),
+                   F.concat(F.lit("PROMO "), F.col("source")))
+             .otherwise(F.concat(F.lit("tail "),
+                                 F.col("doc_id").cast("string"))),
+        ).alias("text"),
+    )
+    return strip_boilerplate(
+        fixture, min_df=3, max_df_frac=0.6).orderBy("doc_id")
+
+
+SQL_BOILERPLATE_STRIP = """
+WITH d AS (
+  SELECT doc_id, CAST(source AS VARCHAR) AS stratum,
+         'NAV ' || source || chr(10) || text || chr(10) ||
+         CASE WHEN (doc_id // 20) % 3 = 0 THEN 'PROMO ' || source
+              ELSE 'tail ' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents WHERE text IS NOT NULL
+), l AS (
+  SELECT doc_id, stratum, u.line AS line, u.pos AS pos
+  FROM (SELECT doc_id, stratum,
+               unnest(list_transform(string_split(text, chr(10)),
+                      (x, i) -> struct_pack(line := x, pos := i))) AS u
+        FROM d)
+), keyed AS (
+  SELECT doc_id, stratum, pos, line,
+         md5(lower(trim(line))) AS key,
+         trim(line) = '' AS blank
+  FROM l
+), tot AS (
+  SELECT stratum, count(DISTINCT doc_id) AS n_docs FROM d GROUP BY 1
+), bp AS (
+  SELECT f.stratum, f.key
+  FROM (SELECT stratum, key, count(DISTINCT doc_id) AS df
+        FROM keyed WHERE NOT blank GROUP BY 1, 2) f
+  JOIN tot USING (stratum)
+  WHERE df >= 3 AND df >= n_docs * 0.6
+), m AS (
+  SELECT keyed.doc_id, keyed.pos, keyed.line,
+         (bp.key IS NULL OR keyed.blank) AS keep
+  FROM keyed LEFT JOIN bp
+    ON keyed.stratum = bp.stratum AND keyed.key = bp.key
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE NOT keep) AS INT) AS n_removed,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE keep), '') AS clean_text
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_fellegi_sunter(spark, sf_dir):
     """Fellegi–Sunter probabilistic linkage (1969; the Splink model):
     sorted-neighborhood candidate pairs over customer (ordered by
@@ -3786,6 +3925,8 @@ def all_queries():
         "muc_lsh": q_muc_lsh,
         "doc_chunks": q_doc_chunks,
         "corpus_shards": q_corpus_shards,
+        "entity_timeline": q_entity_timeline,
+        "boilerplate_strip": q_boilerplate_strip,
         "pricing_summary": q_pricing_summary,
         "top_events": q_top_events,
         "sessionize": q_sessionize,
@@ -3873,6 +4014,8 @@ def all_oracles():
         "muc_lsh": _sql_muc_lsh(),
         "doc_chunks": SQL_DOC_CHUNKS,
         "corpus_shards": SQL_CORPUS_SHARDS,
+        "entity_timeline": SQL_ENTITY_TIMELINE,
+        "boilerplate_strip": SQL_BOILERPLATE_STRIP,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_events": SQL_TOP_EVENTS,
         "sessionize": SQL_SESSIONIZE,

@@ -1649,6 +1649,88 @@ def chunk_documents(docs: DataFrame, window: int = 256,
 
 
 # ----------------------------------------------------------------------
+# Boilerplate line removal: per-source line-frequency filtering — the
+# CCNet/C4-style cleaning pass that strips navigation, headers, cookie
+# banners, and footer lines repeated across a source's documents.
+
+def strip_boilerplate(docs: DataFrame, stratum_col: str = "source",
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_df_frac: float = 0.5,
+                      min_df: int = 3) -> DataFrame:
+    """Remove lines that repeat across a stratum's documents: a line
+    (keyed by its lowercased trimmed form) that appears in ≥ `min_df`
+    documents AND in ≥ `max_df_frac` of its stratum's documents is
+    boilerplate; every occurrence is dropped. Blank lines are never
+    counted and never removed (they are structure, not content — and
+    counting them would strip every paragraph break in the corpus).
+
+    Scale shape: one line explode → one (stratum, line-key) distinct-doc
+    aggregation (the doc-frequency table, shrunk BEFORE any join) → the
+    boilerplate subset joins back against the exploded lines on the
+    md5 line key (skinny: id, pos, key — the raw line text does not
+    ride through the frequency join) → one doc-keyed aggregation
+    rebuilds the text in original line order via sort_array, bounded
+    per row by one document like every text op here. Per-stratum doc
+    totals are a broadcast. Returns one row per input document with
+    non-NULL text: (doc_id, n_lines, n_removed, clean_text) — a doc
+    whose every line was boilerplate comes back with clean_text ''
+    (it was seen, and its emptiness is the signal).
+    """
+    if not (0.0 < max_df_frac <= 1.0):
+        raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
+    lines = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(stratum_col).cast("string").alias("stratum"),
+            F.posexplode(F.split(F.col(text_col), "\n"))
+             .alias("pos", "line"),
+        )
+        .withColumn("_key", F.md5(F.lower(F.trim(F.col("line")))))
+        .withColumn("_blank", F.length(F.trim(F.col("line"))) == 0)
+    )
+    totals = (
+        docs.where(F.col(text_col).isNotNull())
+        .groupBy(F.col(stratum_col).cast("string").alias("stratum"))
+        .agg(F.countDistinct(id_col).alias("_n_docs"))
+    )
+    df_tbl = (
+        lines.where(~F.col("_blank"))
+        .groupBy("stratum", "_key")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .join(F.broadcast(totals), "stratum")
+        .where((F.col("_df") >= min_df)
+               & (F.col("_df") >= F.col("_n_docs") * max_df_frac))
+        .select("stratum", "_key", F.lit(True).alias("_bp"))
+    )
+    marked = (
+        lines.join(df_tbl, ["stratum", "_key"], "left")
+        .withColumn("_keep", F.col("_bp").isNull() | F.col("_blank"))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((~F.col("_keep")).cast("int")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.sort_array(F.collect_list(
+                            F.struct("pos", "_keep", "line"))),
+                        lambda s: s["_keep"],
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_lines",
+                F.col("n_removed").cast("int").alias("n_removed"),
+                "clean_text")
+    )
+
+
+# ----------------------------------------------------------------------
 # Corpus sharding: deterministic pseudo-random global shuffle + shard
 # assignment — the export stage that turns a curated corpus into the
 # fixed shard files a training job streams.

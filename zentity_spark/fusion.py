@@ -90,3 +90,65 @@ def golden_records(records: DataFrame, cluster_col: str,
         )
         out = out.join(winner, "cluster_id", "left")
     return out
+
+
+def entity_timeline(runs: DataFrame, run_col: str = "run_seq",
+                    entity_col: str = "entity_id", attr_col: str = "attr",
+                    value_col: str = "value") -> DataFrame:
+    """SCD2-style attribute history across resolution runs — the
+    temporal sibling of stable_entity_ids: once entity ids persist from
+    run to run (clustering.stable_entity_ids), the next thing an MDM
+    deployment records is WHEN each surviving attribute value held
+    (slowly-changing-dimension type 2; Kimball's dimension-history
+    pattern applied to golden-record output).
+
+    Input: one row per (run, entity, attr) observation. Consecutive
+    OBSERVATIONS (ordered by `run_col` within an (entity, attr)) that
+    carry the same value collapse into one interval; a change — or a
+    value disappearing and later returning — opens a new interval
+    (null-safe comparison: NULL is a value, not a wildcard). Returns
+    (entity_id, attr, value, first_run, last_run, n_runs, is_current)
+    with is_current marking each (entity, attr)'s most recent interval.
+
+    Scale shape: the lag/segment window partitions by (entity, attr)
+    — partition size is bounded by the NUMBER OF RUNS (single digits
+    in practice), never by corpus size, so the window sort is safe at
+    any entity count; the island collapse is one keyed aggregation and
+    the is_current flag one argmax self-join of the already-aggregated
+    intervals table (same struct-min encoding as golden_records, no
+    second window).
+    """
+    from pyspark.sql import Window
+
+    e = F.col(entity_col).alias("entity_id")
+    base = runs.select(e, F.col(attr_col).alias("attr"),
+                       F.col(run_col).cast("long").alias("run_seq"),
+                       F.col(value_col).alias("value"))
+    w = Window.partitionBy("entity_id", "attr").orderBy("run_seq")
+    seg = (
+        base.withColumn("_prev", F.lag("value").over(w))
+        .withColumn("_first", F.row_number().over(w) == 1)
+        .withColumn(
+            "_chg",
+            (F.col("_first") | ~F.col("value").eqNullSafe(F.col("_prev")))
+            .cast("int"),
+        )
+        .withColumn("_seg", F.sum("_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    intervals = seg.groupBy("entity_id", "attr", "_seg").agg(
+        F.first("value").alias("value"),
+        F.min("run_seq").alias("first_run"),
+        F.max("run_seq").alias("last_run"),
+        F.count("*").alias("n_runs"),
+    )
+    latest = intervals.groupBy("entity_id", "attr").agg(
+        F.max("last_run").alias("_latest"))
+    return (
+        intervals.join(latest, ["entity_id", "attr"])
+        .select(
+            "entity_id", "attr", "value", "first_run", "last_run",
+            "n_runs",
+            (F.col("last_run") == F.col("_latest")).alias("is_current"),
+        )
+    )
