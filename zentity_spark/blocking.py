@@ -262,23 +262,36 @@ def global_cumsum(df: DataFrame, sort_cols: list[str],
     )
     # offset dtype follows the SOURCE column: fractional sums must not
     # be truncated through int() / a long schema (cum_<col> over a
-    # double column would otherwise drift by up to a unit per partition)
-    fractional = [
-        isinstance(df.schema[c].dataType, (DoubleType, FloatType, DecimalType))
-        for c in sum_cols
-    ]
-    offsets, acc = [], [0.0 if fr else 0 for fr in fractional]
+    # double column would otherwise drift by up to a unit per
+    # partition), and DECIMAL offsets must not round-trip through
+    # binary float64 (exactness past 2^53 is why decimals were chosen)
+    # — decimal totals accumulate as Python Decimal (exact) and land in
+    # a DECIMAL(38, s) offsets column
+    from decimal import Decimal
+
+    def _kind(c):
+        dt = df.schema[c].dataType
+        if isinstance(dt, DecimalType):
+            return ("decimal", dt.scale)
+        if isinstance(dt, (DoubleType, FloatType)):
+            return ("double", None)
+        return ("long", None)
+
+    kinds = [_kind(c) for c in sum_cols]
+    zero = {"decimal": Decimal(0), "double": 0.0, "long": 0}
+    conv = {"decimal": lambda a: a, "double": float, "long": int}
+    offsets, acc = [], [zero[k] for k, _ in kinds]
     for pid, ts in totals:
         offsets.append((int(pid),) + tuple(
-            float(a) if fr else int(a) for a, fr in zip(acc, fractional)
+            conv[k](a) for a, (k, _) in zip(acc, kinds)
         ))
-        acc = [a + (t or 0) for a, t in zip(acc, ts)]
+        acc = [a + (t or zero[k]) for a, t, (k, _) in zip(acc, ts, kinds)]
     spark = df.sparkSession
     off_df = spark.createDataFrame(
         offsets,
         "_pid int, " + ", ".join(
-            f"_off_{c} " + ("double" if fr else "long")
-            for c, fr in zip(sum_cols, fractional)
+            f"_off_{c} " + (f"decimal(38,{s})" if k == "decimal" else k)
+            for c, (k, s) in zip(sum_cols, kinds)
         ),
     )
     out = local.join(F.broadcast(off_df), "_pid")

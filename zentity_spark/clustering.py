@@ -818,8 +818,12 @@ def apply_review_decisions(assign: DataFrame, edges: DataFrame,
     typo'd 'nonmatch' silently treated as no-op would un-apply a
     human decision).
     """
+    # isNull checked explicitly: ~isin(...) is NULL (not true) for a
+    # NULL decision, which would slip past the guard and then match
+    # NEITHER branch below — a human decision silently un-applied
     bad = (decisions.select("decision").distinct()
-           .where(~F.col("decision").isin("match", "non_match")).collect())
+           .where(F.col("decision").isNull()
+                  | ~F.col("decision").isin("match", "non_match")).collect())
     if bad:
         raise ValueError(
             f"unknown review decision {bad[0][0]!r}: expected "

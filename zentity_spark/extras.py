@@ -70,9 +70,17 @@ def widen_narrow_scan(df: DataFrame) -> DataFrame:
     widening adds nothing anyway; for a pure scan (file relation or a
     checkpointed RDD), df.rdd materializes nothing and the width check
     is free."""
+    import re
+
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(op in plan for op in ("Join", "Aggregate", "Repartition",
-                                 "Window", "Exchange", "Sort")):
+    # match operator NODES (line-leading tokens after the tree-drawing
+    # prefix), not raw substrings: a column named "SortKey" or a filter
+    # literal containing "Join" must not silently disable the widening
+    if re.search(
+        r"^[\s+:*-]*(Join|Aggregate|Repartition|RepartitionByExpression"
+        r"|Window|Exchange|Sort)\b",
+        plan, re.MULTILINE,
+    ):
         return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
@@ -1620,8 +1628,12 @@ def chunk_documents(docs: DataFrame, window: int = 256,
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     stride = window if stride is None else stride
-    if stride < 1:
-        raise ValueError(f"stride must be >= 1, got {stride}")
+    if not (1 <= stride <= window):
+        # stride > window would leave tokens uncovered between windows
+        # AND emit a phantom empty chunk past the end (the start
+        # formula assumes overlap >= 0)
+        raise ValueError(
+            f"stride must be in [1, window={window}], got {stride}")
     words = F.when(
         F.length(F.trim(F.col(text_col))) > 0,
         F.split(F.trim(F.col(text_col)), r"\s+"),
@@ -2163,9 +2175,11 @@ def lm_quality(docs: DataFrame, text_col: str = "text",
     in-doc repeats) → corpus counts derived FROM the (doc, token)
     table (token-keyed shuffle of pre-aggregated rows — the raw-token
     join would be stopword-skewed; this one is vocab-shaped) → one
-    token-keyed join + doc-keyed weighted average. The corpus total
-    rides along as a broadcast single-row aggregate, so the function
-    stays a lazy plan builder."""
+    token-keyed join + doc-keyed weighted average. NOT a lazy builder:
+    the (doc, token) table is eagerly checkpointed at CALL time (two
+    consumers — corpus counts and the scoring join — one
+    materialization; the session-8 sweep measured the re-derivation
+    as the dominant cost)."""
     docs = widen_narrow_scan(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -2208,7 +2222,9 @@ def tfidf_keywords(docs: DataFrame, text_col: str = "text",
     float noise. Plan: explode → (doc, token) counts → document
     frequency derived FROM that table (vocab-shaped shuffle) → join
     back + one per-doc row_number window (a partition is one doc's
-    distinct tokens — bounded by doc length, never corpus-sized)."""
+    distinct tokens — bounded by doc length, never corpus-sized).
+    NOT a lazy builder: the (doc, token) table is eagerly checkpointed
+    at call time (two consumers, one materialization)."""
     docs = widen_narrow_scan(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -856,19 +856,23 @@ _DEDUP_PAD = 32  # near_dup_dedup's id pad width: lexicographic min == numeric m
 
 def _check_dedup_meta(output_root: str, n_buckets: int, k: int, bands: int,
                       jaccard_threshold: float, text_col: str,
-                      id_col: str) -> None:
+                      id_col: str, max_block_size: int | None) -> None:
     """Pin the dedup store's physical + algorithmic parameters, same
     contract as _check_stream_meta: committed signatures were computed
     under (k, bands) and live in pmod(xxhash64, n_buckets) partition
     dirs, so resuming with different values would join new batches'
     signatures against incomparable committed ones (or scan the wrong
     bucket dirs) with no error; the threshold decides which edges were
-    committed, so changing it mid-store silently mixes regimes. The
-    column names are pinned too: resuming with a different text_col
-    would join signatures computed over DIFFERENT source columns."""
+    committed, so changing it mid-store silently mixes regimes — and so
+    does max_block_size (it decides which candidate BLOCKS contributed
+    edges: resuming with a higher cap would mix two candidate-
+    generation regimes with no record of the change). The column names
+    are pinned too: resuming with a different text_col would join
+    signatures computed over DIFFERENT source columns."""
     fp = hashlib.sha256(
         json.dumps({"k": k, "bands": bands, "jaccard": jaccard_threshold,
-                    "text_col": text_col, "id_col": id_col},
+                    "text_col": text_col, "id_col": id_col,
+                    "max_block_size": max_block_size},
                    sort_keys=True).encode()
     ).hexdigest()
     _check_stream_meta(output_root, n_buckets, "dedup", fp)
@@ -931,7 +935,7 @@ def incremental_dedup(spark: SparkSession, stream_docs: DataFrame,
     from zentity_spark.storage import SnapshotStore
 
     _check_dedup_meta(output_root, n_buckets, k, bands, jaccard_threshold,
-                      text_col, id_col)
+                      text_col, id_col, max_block_size)
     store = SnapshotStore(output_root)
     _bind_checkpoint_lineage(
         output_root, checkpoint_dir,
@@ -958,15 +962,17 @@ def incremental_dedup(spark: SparkSession, stream_docs: DataFrame,
         # a≠b ⇒ the longer one is '0'*n + the shorter ⇒ leading '0'),
         # and a collision would silently union-find two docs as one
         bad = docs.where(
-            (F.length("doc_id") > _DEDUP_PAD)
+            F.col("doc_id").isNull()  # NULL passes >/startswith as NULL
+            | (F.length("doc_id") > _DEDUP_PAD)
             | ((F.length("doc_id") > 1) & F.col("doc_id").startswith("0"))
         ).limit(1).collect()
         if bad:
             raise ValueError(
-                f"unsupported doc id {bad[0][0]!r}: ids longer than "
-                f"{_DEDUP_PAD} chars or multi-char ids with a leading "
-                "'0' break the zero-pad min-id keeper rule "
-                "(truncation / pad collision)"
+                f"unsupported doc id {bad[0][0]!r}: NULL ids, ids longer "
+                f"than {_DEDUP_PAD} chars, or multi-char ids with a "
+                "leading '0' break the zero-pad min-id keeper rule "
+                "(a NULL-keyed record silently drops from every join; "
+                "truncation / pad collision)"
             )
         pad = F.lpad(F.col("doc_id"), _DEDUP_PAD, "0")
         ids_new = docs.select(pad.alias("record_id"), "doc_id").localCheckpoint()
@@ -1196,8 +1202,14 @@ def incremental_ann_index(spark: SparkSession, stream_embeddings: DataFrame,
         fp = f"batch-{batch_id}"
         if store.contains_fingerprint("batch_done", fp):
             return  # replayed batch after restart: fully committed
+        # ids normalized to LONG at ingest: xxhash64 is type-sensitive
+        # (int 5 and long 5 land in different rb dirs), and
+        # ann_index_query probes with a long — a non-integral id fails
+        # the ANSI cast loudly here instead of making the store
+        # silently unqueryable
         vecs = batch_emb.select(
-            "vec_id", "label", "embedding",
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "label", "embedding",
             vec_norm(F.col("embedding")).alias("nrm"),
         ).dropDuplicates(["vec_id"]).localCheckpoint()
         _commit_once(
