@@ -276,6 +276,12 @@ QUERY_SUBSET = [
     "inferred_pairs",
     # round-3 session-14 additions
     "review_decisions_applied",
+    # round-3 session-15 additions
+    "doc_chunks",
+    "corpus_shards",
+    "boilerplate_strip",
+    "entity_timeline",
+    "muc_lsh",
 ]
 
 

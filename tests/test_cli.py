@@ -330,3 +330,65 @@ def test_cli_dedup_stream(spark, tmp_path, monkeypatch, capsys):
            spark.read.parquet(str(tmp_path / "keep_out")).collect()}
     assert got == {("1", "1", True), ("2", "1", False), ("3", "3", True),
                    ("4", "3", False)}
+
+
+def test_cli_ann_stream_and_query(spark, tmp_path, monkeypatch, capsys):
+    """`ann-stream` builds the incremental ANN index from arriving
+    embedding files; `ann-query` answers a partition-pruned top-k query
+    from the committed store, matching the library surface's result. A
+    rerun resumes without re-processing; a newly arrived file is picked
+    up and becomes queryable."""
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    dim = 8
+
+    def emb(lo, hi):
+        comps = F.array(*[
+            ((F.crc32(F.concat_ws("_", F.col("vec_id"), F.lit(j))) % 2001)
+             - 1000).cast("double") / 1000.0
+            for j in range(dim)
+        ])
+        return (spark.range(lo, hi).select(F.col("id").alias("vec_id"))
+                .select("vec_id",
+                        F.concat(F.lit("v"), F.col("vec_id")).alias("label"),
+                        comps.alias("embedding")))
+
+    in_dir = str(tmp_path / "in")
+    emb(0, 40).coalesce(1).write.parquet(in_dir)
+    out_root = str(tmp_path / "store")
+    argv = ["ann-stream", "--input", in_dir, "--output", out_root,
+            "--checkpoint", str(tmp_path / "ck"),
+            "--dim", str(dim), "--bands", "4", "--planes-per-band", "4",
+            "--n-buckets", "8"]
+    cli.main(argv)
+    obj = json.loads(capsys.readouterr().out)
+    assert obj["vectors"] == 40
+    n_batches = len(obj["batches"])
+
+    cli.main(["ann-query", "--store", out_root, "--vec-id", "5",
+              "--k", "3", "--multiprobe", "1"])
+    q = json.loads(capsys.readouterr().out)
+    assert q["query_vec_id"] == 5 and len(q["results"]) <= 3
+    assert all(r["vec_id"] != 5 for r in q["results"])
+    assert q["metrics"]["probe_ids"] >= len(q["results"])
+    # parity with the library surface
+    from zentity_spark.streaming import ann_index_query
+
+    lib = [(r.vec_id, r.label, r.cosine) for r in ann_index_query(
+        spark, out_root, 5, k=3, multiprobe=1).collect()]
+    assert [(r["vec_id"], r["label"], r["cosine"])
+            for r in q["results"]] == lib
+
+    # rerun: nothing new → batch count unchanged; new arrivals land
+    cli.main(argv)
+    obj2 = json.loads(capsys.readouterr().out)
+    assert len(obj2["batches"]) == n_batches and obj2["vectors"] == 40
+    emb(40, 60).coalesce(1).write.mode("append").parquet(in_dir)
+    cli.main(argv)
+    obj3 = json.loads(capsys.readouterr().out)
+    assert obj3["vectors"] == 60
+    cli.main(["ann-query", "--store", out_root, "--vec-id", "50",
+              "--k", "3", "--multiprobe", "1"])
+    q2 = json.loads(capsys.readouterr().out)
+    assert q2["query_vec_id"] == 50  # new arrival is queryable

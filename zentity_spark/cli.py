@@ -16,7 +16,10 @@ record linkage over arriving transcript files (processes everything
 available then stops; rerun with the same --checkpoint/--output to pick
 up new arrivals exactly once); `dedup-stream` runs incremental
 MinHash-LSH near-dup dedup over arriving document files (same
-exactly-once/resume semantics); `models` manages the entity-model store
+exactly-once/resume semantics); `ann-stream` incrementally maintains a
+banded-LSH ANN index over arriving embedding files and `ann-query` runs
+a partition-pruned top-k cosine query against the committed store;
+`models` manages the entity-model store
 (get/list/create/update/delete/bulk/setup, ModelsAction.java:86-99 +
 SetupAction.java:43-91); `home` prints the engine metadata body.
 """
@@ -234,6 +237,47 @@ def main(argv=None):
                    help="also write the materialized (doc_id, group_id,"
                         " kept) view as parquet to this path")
 
+    an = sub.add_parser(
+        "ann-stream",
+        help="incrementally maintain a banded hyperplane-LSH ANN index "
+             "over arriving embedding files (foreachBatch; O(batch) "
+             "writes to a bucketed SnapshotStore; processes everything "
+             "available then stops — rerun with the same "
+             "--checkpoint/--output to pick up new arrivals exactly "
+             "once; query with 'ann-query')",
+    )
+    an.add_argument("--input", required=True,
+                    help="directory watched for embedding files")
+    an.add_argument("--input-format", default="parquet")
+    an.add_argument("--schema",
+                    default="vec_id long, label string, "
+                            "embedding array<double>",
+                    help="input stream DDL schema (streaming reads "
+                         "require an explicit schema)")
+    an.add_argument("--output", required=True, help="SnapshotStore root")
+    an.add_argument("--checkpoint", default=None,
+                    help="streaming checkpoint dir (required for resume)")
+    an.add_argument("--dim", type=int, default=64)
+    an.add_argument("--bands", type=int, default=16)
+    an.add_argument("--planes-per-band", type=int, default=8)
+    an.add_argument("--n-buckets", type=int, default=64)
+    an.add_argument("--max-files-per-trigger", type=int, default=None)
+    an.add_argument("--rebind-checkpoint", action="store_true",
+                    help="see 'stream --rebind-checkpoint'")
+
+    aq = sub.add_parser(
+        "ann-query",
+        help="top-k cosine query against a committed ann-stream store "
+             "(partition-pruned probe — no corpus rescan; the index "
+             "geometry comes from the store's pinned meta)",
+    )
+    aq.add_argument("--store", required=True, help="SnapshotStore root")
+    aq.add_argument("--vec-id", type=int, required=True)
+    aq.add_argument("--k", type=int, default=10)
+    aq.add_argument("--multiprobe", type=int, default=0,
+                    help="1 = also probe each band bucket's Hamming-1 "
+                         "neighborhood")
+
     m = sub.add_parser(
         "models",
         help="entity-model management (the _zentity/models routes, "
@@ -341,6 +385,56 @@ def main(argv=None):
             "groups": n_groups,
             "duplicates": n_docs - n_groups,
             "keepers_output": args.keepers_output,
+        }, indent=2))
+        spark.stop()
+        return
+
+    if args.cmd == "ann-stream":
+        # no entity model — the index geometry is its own pinned meta
+        from zentity_spark.storage import SnapshotStore
+        from zentity_spark.streaming import incremental_ann_index
+
+        reader = spark.readStream.schema(args.schema).format(args.input_format)
+        if args.max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger",
+                                   args.max_files_per_trigger)
+        q = incremental_ann_index(
+            spark, reader.load(args.input), args.output,
+            dim=args.dim, bands=args.bands,
+            planes_per_band=args.planes_per_band,
+            checkpoint_dir=args.checkpoint, n_buckets=args.n_buckets,
+            rebind_checkpoint=args.rebind_checkpoint,
+        )
+        q.awaitTermination()
+        store = SnapshotStore(args.output)
+        sm = store.read_all(spark, "stream_metrics")
+        batches = ([r.asDict() for r in sm.orderBy("batch_id").collect()]
+                   if sm is not None else [])
+        vecs = store.read_all(spark, "vectors")
+        print(json.dumps({
+            "batches": batches,  # cumulative across runs (append table)
+            "vectors": vecs.count() if vecs is not None else 0,
+            "bands": args.bands,
+            "planes_per_band": args.planes_per_band,
+            "store": args.output,
+        }, indent=2))
+        spark.stop()
+        return
+
+    if args.cmd == "ann-query":
+        from zentity_spark.streaming import ann_index_query
+
+        df, m = ann_index_query(
+            spark, args.store, args.vec_id, k=args.k,
+            multiprobe=args.multiprobe, with_metrics=True,
+        )
+        rows = [r.asDict() for r in df.collect()]
+        print(json.dumps({
+            "query_vec_id": args.vec_id,
+            "k": args.k,
+            "multiprobe": args.multiprobe,
+            "results": rows,
+            "metrics": m,
         }, indent=2))
         spark.stop()
         return
