@@ -282,6 +282,7 @@ QUERY_SUBSET = [
     "boilerplate_strip",
     "entity_timeline",
     "muc_lsh",
+    "vmeasure_lsh",
 ]
 
 

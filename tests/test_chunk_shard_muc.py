@@ -190,3 +190,77 @@ class TestMucMetrics:
         r = muc_metrics(pred, gold).collect()[0]
         assert r.n_records == 2
         assert (r.muc_precision, r.muc_recall) == (1.0, 1.0)
+
+
+def _info_reference(pairs):
+    """Independent per-record implementation of homogeneity /
+    completeness / V-measure / NMI (Counter-based, no contingency
+    folds) to cross-check the Spark table formulation."""
+    import math
+    from collections import Counter
+
+    n = len(pairs)
+    cc = Counter(c for c, _ in pairs)
+    gc = Counter(g for _, g in pairs)
+    cg = Counter(pairs)
+
+    def ent(counts):
+        return -sum((v / n) * math.log(v / n) for v in counts.values())
+
+    h_c, h_g = ent(cc), ent(gc)
+    h_g_given_c = -sum((v / n) * math.log(v / cc[c])
+                       for (c, g), v in cg.items())
+    h_c_given_g = -sum((v / n) * math.log(v / gc[g])
+                       for (c, g), v in cg.items())
+    mi = sum((v / n) * math.log(n * v / (cc[c] * gc[g]))
+             for (c, g), v in cg.items())
+    h = 1 - h_g_given_c / h_g if h_g > 0 else 1.0
+    c_ = 1 - h_c_given_g / h_c if h_c > 0 else 1.0
+    v = 2 * h * c_ / (h + c_) if h + c_ > 0 else 0.0
+    if h_c > 0 and h_g > 0:
+        nmi = mi / math.sqrt(h_c * h_g)
+    else:
+        nmi = 1.0 if (h_c <= 0 and h_g <= 0) else 0.0
+    return h, c_, v, nmi
+
+
+class TestInformationClusterMetrics:
+    def _run(self, spark, pairs):
+        from zentity_spark.clustering import information_cluster_metrics
+
+        pred = _clustering(spark, [(f"r{i}", c) for i, (c, _) in
+                                   enumerate(pairs)], "cluster_id")
+        gold = _clustering(spark, [(f"r{i}", g) for i, (_, g) in
+                                   enumerate(pairs)], "gold_id")
+        return information_cluster_metrics(pred, gold).collect()[0]
+
+    def test_matches_reference_impl(self, spark):
+        pairs = [("x", "1"), ("x", "1"), ("x", "2"), ("y", "2"),
+                 ("y", "2"), ("y", "3"), ("z", "3"), ("z", "1")]
+        r = self._run(spark, pairs)
+        h, c, v, nmi = _info_reference(pairs)
+        assert r.homogeneity == pytest.approx(h)
+        assert r.completeness == pytest.approx(c)
+        assert r.v_measure == pytest.approx(v)
+        assert r.nmi == pytest.approx(nmi)
+
+    def test_perfect_match(self, spark):
+        pairs = [("x", "1"), ("x", "1"), ("y", "2")]
+        r = self._run(spark, pairs)
+        assert (r.homogeneity, r.completeness, r.v_measure,
+                r.nmi) == (1.0, 1.0, 1.0, pytest.approx(1.0))
+
+    def test_single_gold_class(self, spark):
+        # H(G)=0: homogeneity 1.0 by convention; splitting the single
+        # class costs completeness; nmi 0.0 (one trivial side)
+        pairs = [("x", "g"), ("x", "g"), ("y", "g")]
+        r = self._run(spark, pairs)
+        assert r.homogeneity == 1.0
+        assert r.completeness == pytest.approx(0.0)
+        assert r.nmi == 0.0
+
+    def test_both_trivial(self, spark):
+        pairs = [("x", "g"), ("x", "g")]
+        r = self._run(spark, pairs)
+        assert (r.homogeneity, r.completeness, r.v_measure, r.nmi) == (
+            1.0, 1.0, 1.0, 1.0)

@@ -483,6 +483,87 @@ def muc_metrics(pred: DataFrame, gold: DataFrame,
     )
 
 
+def information_cluster_metrics(pred: DataFrame, gold: DataFrame,
+                                id_col: str = "record_id",
+                                pred_col: str = "cluster_id",
+                                gold_col: str = "gold_id") -> DataFrame:
+    """Information-theoretic clustering quality — homogeneity,
+    completeness, V-measure (Rosenberg & Hirschberg 2007) and
+    sqrt-normalized mutual information — the fourth extrinsic metric
+    family next to pairwise+ARI, B-cubed, and MUC:
+
+      homogeneity  = 1 − H(G|C)/H(G)   (each cluster holds one class)
+      completeness = 1 − H(C|G)/H(C)   (each class sits in one cluster)
+      v_measure    = their harmonic mean
+      nmi          = MI / sqrt(H(C)·H(G))
+
+    Like the siblings, everything folds out of the (cluster, class)
+    contingency table: three keyed aggregations, two broadcast joins of
+    the (already reduced) size tables, one global fold of n_cg·ln terms
+    — shuffles bounded by distinct (cluster, class) co-occurrences,
+    never records. Records missing from either side are
+    inner-join-dropped. Degenerate-entropy conventions (documented, so
+    downstream folds stay total): H(G)=0 ⇒ homogeneity 1.0 (nothing to
+    split), H(C)=0 ⇒ completeness 1.0, v_measure 0.0 when h+c=0, and
+    nmi 1.0 when BOTH entropies are 0 (two trivial identical
+    partitions) but 0.0 when exactly one is (a trivial clustering
+    carries no information about a non-trivial one).
+    → ONE row (n_records, homogeneity, completeness, v_measure, nmi).
+    """
+    t = (
+        pred.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_c"))
+        .join(
+            gold.select(F.col(id_col).alias("_id"), F.col(gold_col).alias("_g")),
+            "_id",
+        )
+    )
+    cont = t.groupBy("_c", "_g").agg(F.count("*").alias("n_cg"))
+    c_sizes = cont.groupBy("_c").agg(F.sum("n_cg").alias("n_c"))
+    g_sizes = cont.groupBy("_g").agg(F.sum("n_cg").alias("n_g"))
+    n_row = cont.agg(F.sum("n_cg").cast("double").alias("_n"))
+    # marginal entropies (per-side tables are already reduced)
+    hc = (c_sizes.crossJoin(F.broadcast(n_row))
+          .agg((-F.sum((F.col("n_c") / F.col("_n"))
+                       * F.log(F.col("n_c") / F.col("_n")))).alias("h_c")))
+    hg = (g_sizes.crossJoin(F.broadcast(n_row))
+          .agg((-F.sum((F.col("n_g") / F.col("_n"))
+                       * F.log(F.col("n_g") / F.col("_n")))).alias("h_g")))
+    joined = (cont.join(F.broadcast(c_sizes), "_c")
+              .join(F.broadcast(g_sizes), "_g")
+              .crossJoin(F.broadcast(n_row)))
+    ncg = F.col("n_cg").cast("double")
+    folds = joined.agg(
+        F.sum("n_cg").alias("n"),
+        (-F.sum((ncg / F.col("_n")) * F.log(ncg / F.col("n_c"))))
+         .alias("h_g_given_c"),
+        (-F.sum((ncg / F.col("_n")) * F.log(ncg / F.col("n_g"))))
+         .alias("h_c_given_g"),
+        F.sum((ncg / F.col("_n"))
+              * F.log(F.col("_n") * ncg
+                      / (F.col("n_c") * F.col("n_g")))).alias("mi"),
+    )
+    j = folds.crossJoin(F.broadcast(hc)).crossJoin(F.broadcast(hg))
+    homog = F.when(F.col("h_g") > 0,
+                   1.0 - F.col("h_g_given_c") / F.col("h_g")
+                   ).otherwise(F.lit(1.0))
+    compl = F.when(F.col("h_c") > 0,
+                   1.0 - F.col("h_c_given_g") / F.col("h_c")
+                   ).otherwise(F.lit(1.0))
+    nmi = (F.when((F.col("h_c") > 0) & (F.col("h_g") > 0),
+                  F.col("mi") / F.sqrt(F.col("h_c") * F.col("h_g")))
+           .when((F.col("h_c") <= 0) & (F.col("h_g") <= 0), F.lit(1.0))
+           .otherwise(F.lit(0.0)))
+    return j.select(
+        F.col("n").cast("long").alias("n_records"),
+        homog.alias("homogeneity"),
+        compl.alias("completeness"),
+        F.when(homog + compl > 0,
+               2 * homog * compl / (homog + compl))
+         .otherwise(F.lit(0.0)).alias("v_measure"),
+        nmi.alias("nmi"),
+    )
+
+
 def threshold_sweep(scored: DataFrame, score_col: str,
                     label_col: str) -> DataFrame:
     """Precision/recall/F1 at EVERY distinct score threshold in one

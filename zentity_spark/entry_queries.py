@@ -2943,6 +2943,63 @@ FROM m
 """
 
 
+def q_vmeasure_lsh(spark, sf_dir):
+    """Homogeneity / completeness / V-measure / NMI of the LSH bucket
+    assignment vs the embeddings gold labels — the fourth extrinsic
+    metric family (information-theoretic) over the SAME fixture as
+    bcubed_lsh / cluster_eval / muc_lsh, so all four are directly
+    comparable (clustering.information_cluster_metrics)."""
+    from zentity_spark.clustering import information_cluster_metrics
+    from zentity_spark.extras import ann_lsh_buckets
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = ann_lsh_buckets(e, dim=64, n_planes=6).localCheckpoint()
+    pred = b.select(F.col("vec_id").alias("record_id"),
+                    F.col("bucket").alias("cluster_id"))
+    gold = b.select(F.col("vec_id").alias("record_id"),
+                    F.col("label").cast("long").alias("gold_id"))
+    return information_cluster_metrics(pred, gold)
+
+
+def _sql_vmeasure_lsh() -> str:
+    buckets = _sql_lsh_buckets().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH b AS ({buckets}),
+cont AS (
+  SELECT bucket AS c, CAST(label AS BIGINT) AS g, count(*) AS n_cg
+  FROM b GROUP BY 1, 2
+), cs AS (SELECT c, sum(n_cg) AS n_c FROM cont GROUP BY c),
+gs AS (SELECT g, sum(n_cg) AS n_g FROM cont GROUP BY g),
+nn AS (SELECT CAST(sum(n_cg) AS DOUBLE) AS n FROM cont),
+hc AS (SELECT -sum((n_c / n) * ln(n_c / n)) AS h_c FROM cs, nn),
+hg AS (SELECT -sum((n_g / n) * ln(n_g / n)) AS h_g FROM gs, nn),
+folds AS (
+  SELECT CAST(sum(n_cg) AS BIGINT) AS n_records,
+         -sum((n_cg / nn.n) * ln(n_cg / n_c)) AS h_g_given_c,
+         -sum((n_cg / nn.n) * ln(n_cg / n_g)) AS h_c_given_g,
+         sum((n_cg / nn.n) * ln(nn.n * n_cg / (n_c * n_g))) AS mi
+  FROM cont JOIN cs USING (c) JOIN gs USING (g), nn
+), m AS (
+  SELECT n_records,
+         CASE WHEN h_g > 0 THEN 1 - h_g_given_c / h_g
+              ELSE 1.0 END AS homogeneity,
+         CASE WHEN h_c > 0 THEN 1 - h_c_given_g / h_c
+              ELSE 1.0 END AS completeness,
+         mi, h_c, h_g
+  FROM folds, hc, hg
+)
+SELECT n_records, homogeneity, completeness,
+       CASE WHEN homogeneity + completeness > 0
+            THEN 2 * homogeneity * completeness
+                 / (homogeneity + completeness)
+            ELSE 0.0 END AS v_measure,
+       CASE WHEN h_c > 0 AND h_g > 0 THEN mi / sqrt(h_c * h_g)
+            WHEN h_c <= 0 AND h_g <= 0 THEN 1.0
+            ELSE 0.0 END AS nmi
+FROM m
+"""
+
+
 def q_doc_chunks(spark, sf_dir):
     """Sliding-window document chunking (extras.chunk_documents):
     24-token windows advancing by 16 (8-token overlap) over the
@@ -3923,6 +3980,7 @@ def all_queries():
         "bcubed_lsh": q_bcubed_lsh,
         "cluster_eval": q_cluster_eval,
         "muc_lsh": q_muc_lsh,
+        "vmeasure_lsh": q_vmeasure_lsh,
         "doc_chunks": q_doc_chunks,
         "corpus_shards": q_corpus_shards,
         "entity_timeline": q_entity_timeline,
@@ -4012,6 +4070,7 @@ def all_oracles():
         "bcubed_lsh": _sql_bcubed_lsh(),
         "cluster_eval": _sql_cluster_eval(),
         "muc_lsh": _sql_muc_lsh(),
+        "vmeasure_lsh": _sql_vmeasure_lsh(),
         "doc_chunks": SQL_DOC_CHUNKS,
         "corpus_shards": SQL_CORPUS_SHARDS,
         "entity_timeline": SQL_ENTITY_TIMELINE,
