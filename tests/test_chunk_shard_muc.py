@@ -264,3 +264,38 @@ class TestInformationClusterMetrics:
         r = self._run(spark, pairs)
         assert (r.homogeneity, r.completeness, r.v_measure, r.nmi) == (
             1.0, 1.0, 1.0, 1.0)
+
+
+def test_chunk_documents_grid_matches_python_spec(spark):
+    """One Spark job over a grid of document lengths × (window, stride)
+    combos, each verified against a brute-force Python spec: start
+    positions are the multiples of stride up to the first window that
+    reaches the end; every chunk slices [start, start+window); coverage
+    is total and the last chunk reaches the document end."""
+    from zentity_spark.extras import chunk_documents
+
+    combos = [(1, 1), (2, 1), (3, 2), (5, 5), (8, 3), (8, 8), (13, 7)]
+    for w, s in combos:
+        docs = [(n, " ".join(f"t{n}_{i}" for i in range(n)))
+                for n in range(1, 41)]
+        out = {}
+        rows = chunk_documents(_docs(spark, docs), window=w,
+                               stride=s).collect()
+        for r in rows:
+            out.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.start, r.n_tokens, r.chunk_text))
+        for n, text in docs:
+            words = text.split(" ")
+            starts = list(range(0, max(n - w + s - 1, 0) + 1, s))
+            expect = [
+                (i, st, len(words[st:st + w]), " ".join(words[st:st + w]))
+                for i, st in enumerate(starts)
+            ]
+            got = sorted(out.get(n, []))
+            assert got == expect, (n, w, s, got[:3], expect[:3])
+            # coverage: every token index falls inside some window and
+            # the last chunk reaches the end
+            covered = set()
+            for _, st, nt, _ in got:
+                covered.update(range(st, st + nt))
+            assert covered == set(range(n)), (n, w, s)
