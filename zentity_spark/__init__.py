@@ -17,6 +17,8 @@ connected-components fixed point, and additionally provides a seeded
 
 from zentity_spark.errors import ValidationException, ZentityError
 from zentity_spark.model import Model
+from zentity_spark.pipeline import ResolutionConfig, resolve_all
+from zentity_spark.resolve import Input, SeededConfig, resolve
 from zentity_spark.scoring import (
     attribute_identity_confidence_score,
     composite_identity_confidence_score,
@@ -49,10 +51,15 @@ def plugin_info() -> dict:
 
 
 __all__ = [
+    "Input",
     "Model",
+    "ResolutionConfig",
+    "SeededConfig",
     "ValidationException",
     "ZentityError",
     "attribute_identity_confidence_score",
     "composite_identity_confidence_score",
     "plugin_info",
+    "resolve",
+    "resolve_all",
 ]
