@@ -283,6 +283,7 @@ QUERY_SUBSET = [
     "entity_timeline",
     "muc_lsh",
     "vmeasure_lsh",
+    "block_stats",
 ]
 
 

@@ -299,3 +299,29 @@ def test_chunk_documents_grid_matches_python_spec(spark):
             for _, st, nt, _ in got:
                 covered.update(range(st, st + nt))
             assert covered == set(range(n)), (n, w, s)
+
+
+def test_block_size_stats_buckets_and_pair_mass(spark):
+    """Power-of-two bucketing is integer-exact (1→1, 2→2, 3..4→4,
+    5..8→8) and n_pairs is the exact comparison mass per bucket."""
+    from zentity_spark.blocking import block_size_stats
+
+    rows = []
+    # resolver r: one block of 1, one of 3, one of 8 → buckets 1, 4, 8
+    for i in range(1):
+        rows.append(("r", "k1", f"a{i}"))
+    for i in range(3):
+        rows.append(("r", "k3", f"b{i}"))
+    for i in range(8):
+        rows.append(("r", "k8", f"c{i}"))
+    # duplicate (key, id) rows must not inflate sizes
+    rows.append(("r", "k3", "b0"))
+    df = spark.createDataFrame(
+        rows, "resolver string, ckey string, record_id string")
+    got = {(r.resolver, r.size_bucket): (r.n_blocks, r.n_keys, r.n_pairs)
+           for r in block_size_stats(df).collect()}
+    assert got == {
+        ("r", 1): (1, 1, 0),
+        ("r", 4): (1, 3, 3),
+        ("r", 8): (1, 8, 28),
+    }

@@ -426,3 +426,50 @@ def meta_block_pairs(blocks: DataFrame, key_col: str = "ckey",
         .where(F.col(prune_scheme) >= F.col("_mean"))
         .drop("_mean")
     )
+
+
+def block_size_stats(blocks: DataFrame,
+                     resolver_col: str = "resolver",
+                     key_col: str = "ckey",
+                     id_col: str = "record_id") -> DataFrame:
+    """Blocking skew diagnostics: per-resolver block-size HISTOGRAM in
+    power-of-two buckets, with the exact pairwise-comparison mass each
+    bucket contributes — the operational view behind the salting/cap
+    machinery (a scheme whose top bucket holds most of the n_pairs mass
+    is the one that needs `max_block_size` / salting; the reduction-
+    ratio single number in blocking_quality can't show WHERE the
+    quadratic mass sits).
+
+    size_bucket = the smallest power of two >= block size, computed in
+    INTEGER arithmetic (binary digit length of sz−1, never log2 —
+    float log of exact powers of two is off-by-ulp and would flip
+    bucket boundaries between engines). n_pairs is the exact
+    Σ sz·(sz−1)/2 over the bucket's blocks (integer DIV).
+
+    Scale shape: one distinct + one (resolver, key) aggregation — the
+    same shuffle blocking itself pays — then a bucket-keyed fold of the
+    already-reduced size table (rows bounded by distinct blocks, output
+    by ~64 buckets × resolvers). → (resolver, size_bucket, n_blocks,
+    n_keys, n_pairs), ordered.
+    """
+    sizes = (
+        blocks.select(F.col(resolver_col).alias("resolver"),
+                      F.col(key_col).alias("_k"),
+                      F.col(id_col).alias("_id"))
+        .distinct()
+        .groupBy("resolver", "_k")
+        .agg(F.count("*").alias("sz"))
+    )
+    bucket = F.when(F.col("sz") == 1, F.lit(1).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), "
+               "length(conv(CAST(sz - 1 AS STRING), 10, 2)))")
+    )
+    return (
+        sizes.groupBy("resolver", bucket.alias("size_bucket"))
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("sz").alias("n_keys"),
+            F.sum(F.expr("sz * (sz - 1) DIV 2")).alias("n_pairs"),
+        )
+        .orderBy("resolver", "size_bucket")
+    )

@@ -2943,6 +2943,44 @@ FROM m
 """
 
 
+def q_block_stats(spark, sf_dir):
+    """Blocking skew diagnostics (blocking.block_size_stats): the
+    per-resolver block-size histogram in power-of-two buckets with the
+    exact pairwise-comparison mass per bucket — the operational view
+    that shows WHERE the quadratic mass sits (blocking_quality's single
+    reduction ratio can't). Buckets are computed in integer arithmetic
+    (binary digit length), never float log2, so bucket boundaries are
+    engine-exact."""
+    from zentity_spark.blocking import block_size_stats
+
+    records, compiled = _er_records(spark, sf_dir)
+    blocks = blocking_keys(records, compiled, hash_keys=False,
+                           max_keys_per_record=100_000)
+    return block_size_stats(blocks)
+
+
+def _sql_block_stats() -> str:
+    return f"""
+WITH bk AS ({SQL_BLOCKING_KEYS}),
+sz AS (
+  SELECT resolver, blocking_key, count(DISTINCT conv_id) AS sz
+  FROM bk GROUP BY 1, 2
+), bucketed AS (
+  SELECT resolver,
+         CAST(CASE WHEN sz = 1 THEN 1
+                   ELSE 1 << length(bin(sz - 1)) END AS BIGINT)
+           AS size_bucket,
+         sz
+  FROM sz
+)
+SELECT resolver, size_bucket,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(sz) AS BIGINT) AS n_keys,
+       CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_pairs
+FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_vmeasure_lsh(spark, sf_dir):
     """Homogeneity / completeness / V-measure / NMI of the LSH bucket
     assignment vs the embeddings gold labels — the fourth extrinsic
@@ -3981,6 +4019,7 @@ def all_queries():
         "cluster_eval": q_cluster_eval,
         "muc_lsh": q_muc_lsh,
         "vmeasure_lsh": q_vmeasure_lsh,
+        "block_stats": q_block_stats,
         "doc_chunks": q_doc_chunks,
         "corpus_shards": q_corpus_shards,
         "entity_timeline": q_entity_timeline,
@@ -4071,6 +4110,7 @@ def all_oracles():
         "cluster_eval": _sql_cluster_eval(),
         "muc_lsh": _sql_muc_lsh(),
         "vmeasure_lsh": _sql_vmeasure_lsh(),
+        "block_stats": _sql_block_stats(),
         "doc_chunks": SQL_DOC_CHUNKS,
         "corpus_shards": SQL_CORPUS_SHARDS,
         "entity_timeline": SQL_ENTITY_TIMELINE,
