@@ -18,7 +18,10 @@ connected-components fixed point, and additionally provides a seeded
 from zentity_spark.errors import ValidationException, ZentityError
 from zentity_spark.model import Model
 from zentity_spark.pipeline import ResolutionConfig, resolve_all
-from zentity_spark.resolve import Input, SeededConfig, resolve
+# the seeded traversal entry point stays at zentity_spark.resolve.resolve:
+# re-exporting the FUNCTION here would shadow the `resolve` SUBMODULE
+# attribute on the package (monkeypatching/attribute access breaks)
+from zentity_spark.resolve import Input, SeededConfig
 from zentity_spark.scoring import (
     attribute_identity_confidence_score,
     composite_identity_confidence_score,
@@ -60,6 +63,5 @@ __all__ = [
     "attribute_identity_confidence_score",
     "composite_identity_confidence_score",
     "plugin_info",
-    "resolve",
     "resolve_all",
 ]
