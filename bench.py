@@ -284,6 +284,7 @@ QUERY_SUBSET = [
     "muc_lsh",
     "vmeasure_lsh",
     "block_stats",
+    "cluster_diff",
 ]
 
 

@@ -325,3 +325,30 @@ def test_block_size_stats_buckets_and_pair_mass(spark):
         ("r", 4): (1, 3, 3),
         ("r", 8): (1, 8, 28),
     }
+
+
+def test_cluster_diff_classifies_changes(spark):
+    """Hand-built prev/curr with one exact survivor, one split, one
+    merge, one all-new cluster, and one dissolved entity."""
+    from zentity_spark.clustering import cluster_diff
+
+    prev = spark.createDataFrame(
+        [("a1", "E1"), ("a2", "E1"),            # survives exactly
+         ("b1", "E2"), ("b2", "E2"),            # splits into c_b1/c_b2
+         ("c1", "E3"), ("d1", "E4"),            # merge into one cluster
+         ("gone", "E5")],                        # record vanished
+        "record_id string, entity_id string")
+    curr = spark.createDataFrame(
+        [("a1", "ca"), ("a2", "ca"),
+         ("b1", "cb1"), ("b2", "cb2"),
+         ("c1", "cm"), ("d1", "cm"),
+         ("n1", "cn"), ("n2", "cn")],            # brand-new records
+        "record_id string, cluster_id string")
+    r = cluster_diff(prev, curr).collect()[0]
+    assert r.n_prev_entities == 5 and r.n_curr_clusters == 5
+    assert r.n_shared_records == 6
+    assert r.n_exact == 1          # (ca, E1)
+    assert r.n_merge_clusters == 1  # cm holds E3+E4
+    assert r.n_split_entities == 1  # E2 over cb1/cb2
+    assert r.n_new_clusters == 1    # cn
+    assert r.n_dissolved_entities == 1  # E5

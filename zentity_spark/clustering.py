@@ -956,3 +956,66 @@ def apply_review_decisions(assign: DataFrame, edges: DataFrame,
         .select("src", "dst", F.col("_cl").alias("cluster_id"))
     )
     return assignments, violations
+
+
+def cluster_diff(prev: DataFrame, curr: DataFrame,
+                 id_col: str = "record_id",
+                 prev_col: str = "entity_id",
+                 curr_col: str = "cluster_id") -> DataFrame:
+    """Run-over-run clustering change report — the summary an operator
+    reads after a re-resolution before trusting the new assignment
+    (the aggregate companion to stable_entity_ids' per-cluster
+    crosswalk): how many entities survived 1-1, how many merged, split,
+    appeared, or dissolved.
+
+    Over the contingency table of records present in BOTH runs:
+      n_exact            (cluster, entity) pairs in 1-1 correspondence
+                         on the shared universe (the cluster's known
+                         members all carry that entity, and that
+                         entity's surviving members all sit in it —
+                         new records don't break exactness)
+      n_merge_clusters   current clusters holding ≥2 prior entities
+      n_split_entities   prior entities spread over ≥2 current clusters
+      n_new_clusters     current clusters with NO member known to prev
+      n_dissolved_entities  prior entities none of whose records exist
+                         in curr (nonzero only when records left)
+
+    Every statistic folds from the (cluster, entity) contingency table
+    and the two id universes: four keyed aggregations + anti-joins of
+    DISTINCT-key tables, then single-row crossJoins — shuffles bounded
+    by distinct co-occurrences, output is ONE row.
+    """
+    p = prev.select(F.col(id_col).alias("_id"), F.col(prev_col).alias("_e"))
+    c = curr.select(F.col(id_col).alias("_id"), F.col(curr_col).alias("_c"))
+    cont = p.join(c, "_id").groupBy("_c", "_e").agg(F.count("*").alias("n_ce"))
+    kc = cont.groupBy("_c").agg(F.count("*").alias("k_c"))
+    ke = cont.groupBy("_e").agg(F.count("*").alias("k_e"))
+    exact = (
+        cont.join(kc.where(F.col("k_c") == 1), "_c")
+        .join(ke.where(F.col("k_e") == 1), "_e")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    merges = kc.agg(F.coalesce(F.sum((F.col("k_c") > 1).cast("long")),
+                               F.lit(0)).alias("n_merge_clusters"))
+    splits = ke.agg(F.coalesce(F.sum((F.col("k_e") > 1).cast("long")),
+                               F.lit(0)).alias("n_split_entities"))
+    shared = cont.agg(F.coalesce(F.sum("n_ce"), F.lit(0))
+                      .alias("n_shared_records"))
+    curr_cl = c.select("_c").distinct()
+    prev_en = p.select("_e").distinct()
+    n_curr = curr_cl.agg(F.count("*").alias("n_curr_clusters"))
+    n_prev = prev_en.agg(F.count("*").alias("n_prev_entities"))
+    new_cl = (curr_cl.join(cont.select("_c").distinct(), "_c", "left_anti")
+              .agg(F.count("*").alias("n_new_clusters")))
+    dissolved = (prev_en.join(cont.select("_e").distinct(), "_e", "left_anti")
+                 .agg(F.count("*").alias("n_dissolved_entities")))
+    out = n_prev.crossJoin(n_curr).crossJoin(shared).crossJoin(exact) \
+        .crossJoin(merges).crossJoin(splits).crossJoin(new_cl) \
+        .crossJoin(dissolved)
+    return out.select(
+        "n_prev_entities", "n_curr_clusters",
+        F.col("n_shared_records").cast("long").alias("n_shared_records"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        "n_merge_clusters", "n_split_entities",
+        "n_new_clusters", "n_dissolved_entities",
+    )

@@ -3688,6 +3688,72 @@ def q_stable_entity_ids(spark, sf_dir):
     return stable_entity_ids(prev, curr).localCheckpoint().orderBy("cluster_id")
 
 
+def q_cluster_diff(spark, sf_dir):
+    """Run-over-run clustering change report (clustering.cluster_diff):
+    the summary an operator reads after a re-resolution — 1-1 survived
+    entities, merges, splits, new and dissolved — over the same
+    prev/curr fixture as stable_entity_ids (reduced vs full edge sets,
+    so real splits AND merges occur)."""
+    from zentity_spark.clustering import cluster_diff, connected_components
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    reduced = li.where(F.col("l_partkey") < 30).select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    prev = connected_components(reduced).select(
+        "record_id", F.concat(F.lit("E"), F.col("cluster_id")).alias("entity_id")
+    )
+    curr = connected_components(_cc_edges(spark, sf_dir))
+    return cluster_diff(prev, curr)
+
+
+def _sql_cluster_diff() -> str:
+    return f"""
+WITH RECURSIVE {_sql_cc(30, "prevcc")}, {_sql_cc(40, "currcc")},
+prev AS (SELECT node AS record_id, 'E' || cluster_id AS entity_id FROM prevcc),
+curr AS (SELECT node AS record_id, cluster_id FROM currcc),
+cont AS (
+  SELECT c.cluster_id AS cc, p.entity_id AS e,
+         CAST(count(*) AS BIGINT) AS n_ce
+  FROM curr c JOIN prev p USING (record_id) GROUP BY 1, 2
+), kc AS (SELECT cc, count(*) AS k_c FROM cont GROUP BY cc),
+ke AS (SELECT e, count(*) AS k_e FROM cont GROUP BY e),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact
+  FROM cont JOIN kc USING (cc) JOIN ke USING (e)
+  WHERE k_c = 1 AND k_e = 1
+), merges AS (
+  SELECT CAST(coalesce(sum(CASE WHEN k_c > 1 THEN 1 END), 0) AS BIGINT)
+    AS n_merge_clusters FROM kc
+), splits AS (
+  SELECT CAST(coalesce(sum(CASE WHEN k_e > 1 THEN 1 END), 0) AS BIGINT)
+    AS n_split_entities FROM ke
+), shared AS (
+  SELECT CAST(coalesce(sum(n_ce), 0) AS BIGINT) AS n_shared_records
+  FROM cont
+), nprev AS (
+  SELECT CAST(count(DISTINCT entity_id) AS BIGINT) AS n_prev_entities
+  FROM prev
+), ncurr AS (
+  SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_curr_clusters
+  FROM curr
+), newcl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_new_clusters
+  FROM (SELECT DISTINCT cluster_id FROM curr) x
+  WHERE cluster_id NOT IN (SELECT cc FROM cont)
+), diss AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_dissolved_entities
+  FROM (SELECT DISTINCT entity_id FROM prev) x
+  WHERE entity_id NOT IN (SELECT e FROM cont)
+)
+SELECT n_prev_entities, n_curr_clusters, n_shared_records, n_exact,
+       n_merge_clusters, n_split_entities, n_new_clusters,
+       n_dissolved_entities
+FROM nprev, ncurr, shared, exact, merges, splits, newcl, diss
+"""
+
+
 def _sql_cc(k: int, name: str) -> str:
     """Recursive-CTE connected components over the order–part subgraph
     with l_partkey < k, as CTE `name`(node, cluster_id)."""
@@ -4008,6 +4074,7 @@ def all_queries():
         "fs_tf_adjustment": q_fs_tf_adjustment,
         "threshold_sweep": q_threshold_sweep,
         "stable_entity_ids": q_stable_entity_ids,
+        "cluster_diff": q_cluster_diff,
         "clerical_review_queue": q_clerical_review_queue,
         "inferred_pairs": q_inferred_pairs,
         "review_decisions_applied": q_review_decisions_applied,
@@ -4099,6 +4166,7 @@ def all_oracles():
         "fs_tf_adjustment": SQL_FS_TF_ADJUSTMENT,
         "threshold_sweep": SQL_THRESHOLD_SWEEP,
         "stable_entity_ids": SQL_STABLE_ENTITY_IDS,
+        "cluster_diff": _sql_cluster_diff(),
         "clerical_review_queue": SQL_CLERICAL_REVIEW_QUEUE,
         "inferred_pairs": SQL_INFERRED_PAIRS,
         "review_decisions_applied": SQL_REVIEW_DECISIONS_APPLIED,
