@@ -352,3 +352,23 @@ def test_cluster_diff_classifies_changes(spark):
     assert r.n_split_entities == 1  # E2 over cb1/cb2
     assert r.n_new_clusters == 1    # cn
     assert r.n_dissolved_entities == 1  # E5
+
+
+def test_chunk_documents_whitespace_edges(spark):
+    """Leading/trailing non-space whitespace must not create phantom
+    empty tokens or chunks (F.trim strips only 0x20): a trailing
+    newline was verified to emit an empty chunk before the fix."""
+    from zentity_spark.extras import chunk_documents
+
+    d = _docs(spark, [(1, "a b\n"), (2, "\thello world"),
+                      (3, "\n\t"), (4, "x\n\ny \t z\n")])
+    rows = chunk_documents(d, window=2, stride=2).orderBy(
+        "doc_id", "chunk_idx").collect()
+    got = [(r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text) for r in rows]
+    assert got == [
+        (1, 0, 2, "a b"),
+        (2, 0, 2, "hello world"),
+        # doc 3 is whitespace-only → no chunks
+        (4, 0, 2, "x y"),
+        (4, 1, 1, "z"),
+    ]

@@ -124,3 +124,19 @@ class TestStripBoilerplate:
 
         with pytest.raises(ValueError):
             strip_boilerplate(_docs(spark, [(1, "s", "x")]), max_df_frac=0.0)
+
+
+def test_strip_boilerplate_null_stratum_still_filters(spark):
+    """NULL-source docs form their own stratum (sentinel-coalesced):
+    repeated lines among them are stripped — equi-joins must not let
+    them silently bypass the frequency filter."""
+    from zentity_spark.extras import strip_boilerplate
+
+    docs = [(1, None, "nav\nu1"), (2, None, "nav\nu2"),
+            (3, None, "nav\nu3"), (4, "s", "nav\nother")]
+    out = {r.doc_id: r for r in strip_boilerplate(
+        _docs(spark, docs), min_df=3, max_df_frac=0.5).collect()}
+    assert out[1].clean_text == "u1" and out[1].n_removed == 1
+    assert out[3].clean_text == "u3"
+    # the named stratum is independent: df=1 there → kept
+    assert out[4].clean_text == "nav\nother" and out[4].n_removed == 0

@@ -295,6 +295,23 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame, max_hops: int = 100,
     return visited
 
 
+def _contingency(pred: DataFrame, gold: DataFrame, id_col: str,
+                 pred_col: str, gold_col: str) -> DataFrame:
+    """Inner-join pred/gold on the record id and reduce to the
+    (cluster, class) contingency table (_c, _g, n_cg) — the shared
+    substrate of every extrinsic metric in this module (records missing
+    from either side are dropped: both clusterings must cover a record
+    for it to be scoreable)."""
+    t = (
+        pred.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_c"))
+        .join(
+            gold.select(F.col(id_col).alias("_id"), F.col(gold_col).alias("_g")),
+            "_id",
+        )
+    )
+    return t.groupBy("_c", "_g").agg(F.count("*").alias("n_cg"))
+
+
 def bcubed_metrics(pred: DataFrame, gold: DataFrame,
                    id_col: str = "record_id",
                    pred_col: str = "cluster_id",
@@ -315,14 +332,7 @@ def bcubed_metrics(pred: DataFrame, gold: DataFrame,
     number of DISTINCT (cluster, class) co-occurrences, not records.
     Records missing from either side are inner-join-dropped (both
     clusterings must cover a record for it to be scoreable)."""
-    t = (
-        pred.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_c"))
-        .join(
-            gold.select(F.col(id_col).alias("_id"), F.col(gold_col).alias("_g")),
-            "_id",
-        )
-    )
-    cont = t.groupBy("_c", "_g").agg(F.count("*").alias("n_cg"))
+    cont = _contingency(pred, gold, id_col, pred_col, gold_col)
     c_sizes = cont.groupBy("_c").agg(F.sum("n_cg").alias("n_c"))
     g_sizes = cont.groupBy("_g").agg(F.sum("n_cg").alias("n_g"))
     joined = cont.join(F.broadcast(c_sizes), "_c").join(F.broadcast(g_sizes), "_g")
@@ -369,14 +379,7 @@ def pairwise_cluster_metrics(pred: DataFrame, gold: DataFrame,
     instead throw there — either way long is wrong). The reported
     pair_tp stays a long, valid while pair counts ≤ 2⁶³-1 (single
     cluster/class up to ~4.3e9 members); the ratios are double."""
-    t = (
-        pred.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_c"))
-        .join(
-            gold.select(F.col(id_col).alias("_id"), F.col(gold_col).alias("_g")),
-            "_id",
-        )
-    )
-    cont = t.groupBy("_c", "_g").agg(F.count("*").alias("n_cg"))
+    cont = _contingency(pred, gold, id_col, pred_col, gold_col)
     # C(x,2) in DECIMAL(38,0): the product is exact to 38 digits and
     # always even, so floor(x*(x-1)/2) is the exact pair count
     pairs2 = lambda c: F.sum(F.expr(  # noqa: E731
@@ -446,14 +449,7 @@ def muc_metrics(pred: DataFrame, gold: DataFrame,
     link-free clusterings, and 0 keeps downstream f1 folds total).
     → ONE row (n_records, muc_precision, muc_recall, muc_f1).
     """
-    t = (
-        pred.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_c"))
-        .join(
-            gold.select(F.col(id_col).alias("_id"), F.col(gold_col).alias("_g")),
-            "_id",
-        )
-    )
-    cont = t.groupBy("_c", "_g").agg(F.count("*").alias("n_cg"))
+    cont = _contingency(pred, gold, id_col, pred_col, gold_col)
     per_g = cont.groupBy("_g").agg(
         F.sum("n_cg").alias("n_g"), F.count("*").alias("p_g"))
     per_c = cont.groupBy("_c").agg(
@@ -510,14 +506,7 @@ def information_cluster_metrics(pred: DataFrame, gold: DataFrame,
     carries no information about a non-trivial one).
     → ONE row (n_records, homogeneity, completeness, v_measure, nmi).
     """
-    t = (
-        pred.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_c"))
-        .join(
-            gold.select(F.col(id_col).alias("_id"), F.col(gold_col).alias("_g")),
-            "_id",
-        )
-    )
-    cont = t.groupBy("_c", "_g").agg(F.count("*").alias("n_cg"))
+    cont = _contingency(pred, gold, id_col, pred_col, gold_col)
     c_sizes = cont.groupBy("_c").agg(F.sum("n_cg").alias("n_c"))
     g_sizes = cont.groupBy("_g").agg(F.sum("n_cg").alias("n_g"))
     n_row = cont.agg(F.sum("n_cg").cast("double").alias("_n"))

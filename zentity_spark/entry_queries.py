@@ -3055,10 +3055,12 @@ def q_doc_chunks(spark, sf_dir):
 
 SQL_DOC_CHUNKS = """
 WITH w AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
-  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents WHERE text IS NOT NULL
 ), s AS (
-  SELECT doc_id, words, len(words) AS n FROM w
+  SELECT doc_id, words, len(words) AS n FROM w WHERE len(words) > 0
 ), st AS (
   SELECT doc_id, words,
          unnest(range(0, greatest(n - 24 + 16, 1), 16)) AS start

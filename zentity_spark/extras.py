@@ -1634,10 +1634,12 @@ def chunk_documents(docs: DataFrame, window: int = 256,
         # formula assumes overlap >= 0)
         raise ValueError(
             f"stride must be in [1, window={window}], got {stride}")
-    words = F.when(
-        F.length(F.trim(F.col(text_col))) > 0,
-        F.split(F.trim(F.col(text_col)), r"\s+"),
-    ).otherwise(F.array().cast("array<string>"))
+    # split-then-filter, NOT trim-then-split: F.trim strips only spaces
+    # (0x20), so a trailing '\n' / leading '\t' would keep an empty
+    # boundary token — a phantom chunk past the end and a shifted first
+    # window (verified: 'a b\n' yielded chunk_text '')
+    words = F.filter(F.split(F.col(text_col), r"\s+"),
+                     lambda x: x != F.lit(""))
     n = F.size(F.col("_words"))
     starts = F.sequence(
         F.lit(0),
@@ -1690,11 +1692,16 @@ def strip_boilerplate(docs: DataFrame, stratum_col: str = "source",
     """
     if not (0.0 < max_df_frac <= 1.0):
         raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
+    # NULL strata coalesce to a sentinel: the frequency joins are
+    # equi-joins on stratum, and NULL never equals NULL — without this,
+    # NULL-source docs would silently bypass the whole filter
+    stratum = F.coalesce(F.col(stratum_col).cast("string"),
+                         F.lit("\x00null"))
     lines = (
         docs.where(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("doc_id"),
-            F.col(stratum_col).cast("string").alias("stratum"),
+            stratum.alias("stratum"),
             F.posexplode(F.split(F.col(text_col), "\n"))
              .alias("pos", "line"),
         )
@@ -1703,7 +1710,7 @@ def strip_boilerplate(docs: DataFrame, stratum_col: str = "source",
     )
     totals = (
         docs.where(F.col(text_col).isNotNull())
-        .groupBy(F.col(stratum_col).cast("string").alias("stratum"))
+        .groupBy(stratum.alias("stratum"))
         .agg(F.countDistinct(id_col).alias("_n_docs"))
     )
     df_tbl = (

@@ -868,7 +868,14 @@ def _check_dedup_meta(output_root: str, n_buckets: int, k: int, bands: int,
     edges: resuming with a higher cap would mix two candidate-
     generation regimes with no record of the change). The column names
     are pinned too: resuming with a different text_col would join
-    signatures computed over DIFFERENT source columns."""
+    signatures computed over DIFFERENT source columns.
+
+    Fingerprint schema history: max_block_size joined the pinned set in
+    session 15 — a store created before that carries the old hash and
+    refuses to resume even with identical parameters; rebuild it
+    (stores are derived state: re-stream the inputs). Deliberate trade:
+    silently resuming across a cap change mixes candidate-generation
+    regimes, which is worse than an explicit rebuild."""
     fp = hashlib.sha256(
         json.dumps({"k": k, "bands": bands, "jaccard": jaccard_threshold,
                     "text_col": text_col, "id_col": id_col,
