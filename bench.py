@@ -229,6 +229,24 @@ def ann_probe(spark, sf_dir: str) -> dict:
     }
 
 
+def host_weather_snapshot(secs: int = 4) -> dict:
+    """Compact membw probe (the 2→8 stream ratio from
+    tools/host_weather.py) so the headline JSON itself records which
+    capacity window the measurement landed in: this host's bandwidth
+    swings 3-4× between windows, and a 37s-vs-14s headline delta is
+    machine-attributable only with the window stamped alongside."""
+    try:
+        from tools.host_weather import _stream, run as hw_run
+
+        bw = {n: round(hw_run(_stream, n, secs=secs), 1) for n in (2, 8)}
+        return {
+            "membw_GBps": bw,
+            "membw_2_to_8": round(bw[8] / max(bw[2], 0.1), 2),
+        }
+    except Exception as exc:  # never let the weather probe kill the bench
+        return {"error": str(exc)[:200]}
+
+
 QUERY_SUBSET = [
     "conv_assembly",
     "blocking_keys",
@@ -300,12 +318,14 @@ def main():
     from zentity_spark.entry_queries import all_queries
 
     run_pipeline(spark, 1000)  # warm up JVM/codegen before timing
+    weather_before = host_weather_snapshot()
     # best of 2 full runs: this host's effective capacity swings ±50%
     # minute-to-minute (hypervisor neighbors), which otherwise dominates
     # round-over-round headline comparisons
     wall, n_turns, precision, recall, n_clusters = run_pipeline(spark, n_entities)
     wall2, _, _, _, _ = run_pipeline(spark, n_entities)
     wall = min(wall, wall2)
+    weather_after = host_weather_snapshot()
 
     queries = {}
     qmap = all_queries()
@@ -370,6 +390,11 @@ def main():
         "ann_clustered_ivf_recall": ann.get("clustered", {}).get(
             "ivf_recall_vs_bruteforce"),
         "scaling": scaling_summary,
+        # window stamp bracketing the headline runs (membw 2→8 stream
+        # ratio; healthy ≈ 3-4×, degraded ≈ 1.1-1.7× — BASELINE.md)
+        "host_weather_at_headline": {
+            "before": weather_before, "after": weather_after,
+        },
     }
     sys.stdout.flush()
     print(json.dumps(out, separators=(",", ":")))

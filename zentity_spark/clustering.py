@@ -346,7 +346,11 @@ def bcubed_metrics(pred: DataFrame, gold: DataFrame,
         F.sum(n_cg_d * n_cg_d / F.col("n_g")).alias("r_sum"),
     )
     return agg.select(
-        F.col("n").cast("long").alias("n_records"),
+        # coalesce: SUM over the zero-row contingency (no shared ids
+        # after the inner join) is NULL — report n_records = 0 so the
+        # 'keeps downstream folds total' promise holds in the
+        # degenerate case too
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_records"),
         (F.col("p_sum") / F.col("n")).alias("bcubed_precision"),
         (F.col("r_sum") / F.col("n")).alias("bcubed_recall"),
         F.when(
@@ -413,7 +417,11 @@ def pairwise_cluster_metrics(pred: DataFrame, gold: DataFrame,
     prec = F.when(F.col("sum_c") > 0, tp_d / sum_c_d).otherwise(F.lit(0.0))
     rec = F.when(F.col("sum_g") > 0, tp_d / sum_g_d).otherwise(F.lit(0.0))
     return j.select(
-        F.col("n").cast("long").alias("n_records"),
+        # coalesce: SUM over the zero-row contingency (no shared ids
+        # after the inner join) is NULL — report n_records = 0 so the
+        # 'keeps downstream folds total' promise holds in the
+        # degenerate case too
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_records"),
         F.col("tp").cast("long").alias("pair_tp"),
         prec.alias("pair_precision"),
         rec.alias("pair_recall"),
@@ -471,7 +479,11 @@ def muc_metrics(pred: DataFrame, gold: DataFrame,
                  F.col("r_num").cast("double") / F.col("r_den")
                  ).otherwise(F.lit(0.0))
     return j.select(
-        F.col("n").cast("long").alias("n_records"),
+        # coalesce: SUM over the zero-row contingency (no shared ids
+        # after the inner join) is NULL — report n_records = 0 so the
+        # 'keeps downstream folds total' promise holds in the
+        # degenerate case too
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_records"),
         prec.alias("muc_precision"),
         rec.alias("muc_recall"),
         F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
@@ -543,7 +555,11 @@ def information_cluster_metrics(pred: DataFrame, gold: DataFrame,
            .when((F.col("h_c") <= 0) & (F.col("h_g") <= 0), F.lit(1.0))
            .otherwise(F.lit(0.0)))
     return j.select(
-        F.col("n").cast("long").alias("n_records"),
+        # coalesce: SUM over the zero-row contingency (no shared ids
+        # after the inner join) is NULL — report n_records = 0 so the
+        # 'keeps downstream folds total' promise holds in the
+        # degenerate case too
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_records"),
         homog.alias("homogeneity"),
         compl.alias("completeness"),
         F.when(homog + compl > 0,

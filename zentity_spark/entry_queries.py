@@ -2068,7 +2068,13 @@ def q_multimodal_resize(spark, sf_dir):
     against numpy); these text payloads take the deterministic
     byte-sampling fallback, which is still content-derived — the oracle
     recomputes the exact per-byte math via DuckDB hex() extraction, so
-    a hash match proves the sampling indices AND the byte values."""
+    a hash match proves the sampling indices AND the byte values.
+
+    The pixel array is serialized to a canonical CSV of the underlying
+    byte values (pixel*255 is exact for the byte-derived fallback AND
+    for real PGM/PPM rasters, both byte/255.0): the driver's pandas
+    canonicalizer cannot sort array-typed cells (round-3 `err`), and a
+    plain-string column hashes identically on both engines."""
     from zentity_spark.extras import resize_media
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2080,8 +2086,17 @@ def q_multimodal_resize(spark, sf_dir):
     )
     return (
         resize_media(media, out_w=4, out_h=4)
-        .select("media_id", "src_width", "src_height", "width", "height",
-                "pixels", "resized_real")
+        .select(
+            "media_id", "src_width", "src_height", "width", "height",
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "pixels",
+                    lambda x: F.round(x * 255.0).cast("int").cast("string"),
+                ),
+            ).alias("pixel_bytes"),
+            "resized_real",
+        )
         .orderBy("media_id")
     )
 
@@ -2096,10 +2111,10 @@ SELECT media_id,
        CAST((L % 64) * 16 + 16 AS INT) AS src_width,
        CAST((L % 48) * 16 + 16 AS INT) AS src_height,
        CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
-       CASE WHEN L = 0 THEN list_transform(range(0, 16), k -> 0.0)
-            ELSE list_transform(range(0, 16), k ->
-         CAST(CAST(('0x' || substr(hx, CAST(((k * L) // 16) * 2 + 1 AS INT), 2)) AS INT) AS DOUBLE) / 255.0
-       ) END AS pixels,
+       CASE WHEN L = 0 THEN array_to_string(list_transform(range(0, 16), k -> 0), ',')
+            ELSE array_to_string(list_transform(range(0, 16), k ->
+         CAST(('0x' || substr(hx, CAST(((k * L) // 16) * 2 + 1 AS INT), 2)) AS INT)
+       ), ',') END AS pixel_bytes,
        FALSE AS resized_real
 FROM b ORDER BY media_id
 """
@@ -2111,7 +2126,11 @@ def q_frame_sample(spark, sf_dir):
     WAV payloads are REALLY sampled (stdlib wave, pytest-verified);
     these text payloads use the byte-axis fallback — the oracle
     recomputes both the index math i*n_frames//8 and the sampled byte
-    values via DuckDB hex() extraction."""
+    values via DuckDB hex() extraction.
+
+    frame_idx/samples arrays are serialized to canonical CSV strings
+    (sample*255 recovers the exact byte) — the driver's pandas
+    canonicalizer cannot sort array-typed cells (round-3 `err`)."""
     from zentity_spark.extras import sample_frames
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2123,8 +2142,20 @@ def q_frame_sample(spark, sf_dir):
     )
     return (
         sample_frames(media, n_samples=8)
-        .select("media_id", "kind", "n_frames", "frame_idx", "samples",
-                "sampled_real")
+        .select(
+            "media_id", "kind", "n_frames",
+            F.concat_ws(
+                ",", F.transform("frame_idx", lambda x: x.cast("string"))
+            ).alias("frame_idx_csv"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "samples",
+                    lambda x: F.round(x * 255.0).cast("int").cast("string"),
+                ),
+            ).alias("sample_bytes"),
+            "sampled_real",
+        )
         .orderBy("media_id")
     )
 
@@ -2137,13 +2168,13 @@ WITH b AS (
 )
 SELECT media_id, 'video' AS kind,
        CAST(L AS INT) AS n_frames,
-       CASE WHEN L = 0 THEN list_transform(range(0, 0), k -> CAST(k AS INT))
-            ELSE list_transform(range(0, 8), k -> CAST((k * L) // 8 AS INT))
-       END AS frame_idx,
-       CASE WHEN L = 0 THEN list_transform(range(0, 0), k -> CAST(k AS DOUBLE))
-            ELSE list_transform(range(0, 8), k ->
-         CAST(CAST(('0x' || substr(hx, CAST(((k * L) // 8) * 2 + 1 AS INT), 2)) AS INT) AS DOUBLE) / 255.0
-       ) END AS samples,
+       CASE WHEN L = 0 THEN ''
+            ELSE array_to_string(list_transform(range(0, 8), k -> (k * L) // 8), ',')
+       END AS frame_idx_csv,
+       CASE WHEN L = 0 THEN ''
+            ELSE array_to_string(list_transform(range(0, 8), k ->
+         CAST(('0x' || substr(hx, CAST(((k * L) // 8) * 2 + 1 AS INT), 2)) AS INT)
+       ), ',') END AS sample_bytes,
        FALSE AS sampled_real
 FROM b ORDER BY media_id
 """
@@ -3397,12 +3428,19 @@ def q_fs_tf_adjustment(spark, sf_dir):
         .join(seg.select(F.col("_id").alias("id_b"),
                          F.col("_seg").alias("seg_b")), "id_b")
     )
+    # tf is NULL on disagreeing pairs by the operator's contract; the
+    # contract query replaces it with a -1.0 sentinel because a NULL
+    # double is ambiguous across the comparison stack (toPandas turns
+    # it into NaN while DuckDB keeps None — driver-canonicalizer
+    # dependent). The operator itself keeps NULL.
     return (
         term_frequency_adjustment(
             p, "seg_a", "seg_b", m_k=0.9, u_k=0.2,
             tf_source=c, tf_col="c_mktsegment",
         )
-        .select("id_a", "id_b", "agree", "tf", "base_weight", "tf_adj_weight")
+        .select("id_a", "id_b", "agree",
+                F.coalesce(F.col("tf"), F.lit(-1.0)).alias("tf"),
+                "base_weight", "tf_adj_weight")
         .orderBy("id_a", "id_b")
     )
 
@@ -3423,7 +3461,7 @@ WITH r AS (
 )
 SELECT id_a, id_b,
        CASE WHEN seg_a = seg_b THEN 1 ELSE 0 END AS agree,
-       CASE WHEN seg_a = seg_b THEN round(tfv, 6) END AS tf,
+       COALESCE(CASE WHEN seg_a = seg_b THEN round(tfv, 6) END, -1.0) AS tf,
        round(CASE WHEN seg_a = seg_b THEN log2(0.9 / 0.2)
                   ELSE log2((1.0 - 0.9) / (1.0 - 0.2)) END, 6) AS base_weight,
        round(CASE WHEN seg_a = seg_b THEN log2(0.9 / tfv)
@@ -4007,58 +4045,17 @@ ORDER BY nm.src, nm.dst
 # ----------------------------------------------------------------------
 # Registry
 
+# Ordering policy (round 4): the driver's oracle harness checks the
+# FIRST 50 entries only, so slots 1-50 hold (a) the 34 operators that
+# had never had a driver CORRECTNESS row through round 3, (b) the two
+# array-column queries that errored in round 3 (now string-serialized),
+# (c) the three rows last driver-checked in round 2, and (d) 11
+# flagship core-resolution guards kept inside every window. The 37
+# rows green in CORRECTNESS_r03 form the tail; round 5 swaps the
+# partitions so the union of driver rows covers all 87.
 def all_queries():
     return {
-        "conv_assembly": q_conv_assembly,
-        "conv_values": q_conv_values,
-        "blocking_keys": q_blocking_keys,
-        "candidate_pairs": q_candidate_pairs,
-        "pairs_levenshtein": q_pairs_levenshtein,
-        "blocking_quality": q_blocking_quality,
-        "pairs_jaro_winkler": q_pairs_jaro_winkler,
-        "soundex_codes": q_soundex_codes,
-        "pairs_date_window": q_pairs_date_window,
-        "date_parse_chain": q_date_parse_chain,
-        "scored_pairs": q_scored_pairs,
-        "seeded_bfs": q_seeded_bfs,
-        "seeded_scope_exclude": q_seeded_scope_exclude,
-        "seeded_scope_include": q_seeded_scope_include,
-        "incremental_linkage": q_incremental_linkage,
-        "incremental_linkage_delta": q_incremental_linkage_delta,
-        "entity_closure": q_entity_closure,
-        "term_coercion": q_term_coercion,
-        "weight_gating": q_weight_gating,
-        "per_field_or": q_per_field_or,
-        "json_extract": q_json_extract,
-        "connected_components": q_connected_components,
-        "bfs_hops": q_bfs_hops,
-        "cluster_sizes": q_cluster_sizes,
-        "composite_score": q_composite_score,
-        "attribute_score_chain": q_attribute_score_chain,
-        "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
-        "near_dup_pairs": q_near_dup_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
-        "simhash_near_dup": q_simhash_near_dup,
-        "ann_topk": q_ann_topk,
-        "lsh_buckets": q_lsh_buckets,
-        "incremental_ann_index": q_incremental_ann_index,
-        "ann_index_stream_topk": q_ann_index_stream_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "text_quality": q_text_quality,
-        "paragraph_dedup": q_paragraph_dedup,
-        "repetition_metrics": q_repetition_metrics,
-        "language_id": q_language_id,
-        "token_counts": q_token_counts,
-        "fingerprints": q_fingerprints,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "frame_sample": q_frame_sample,
-        "pii_scrub": q_pii_scrub,
-        "vocab_stats": q_vocab_stats,
+        # (a) never driver-checked through round 3
         "pack_sequences": q_pack_sequences,
         "corpus_curation": q_corpus_curation,
         "near_dup_dedup": q_near_dup_dedup,
@@ -4093,9 +4090,64 @@ def all_queries():
         "corpus_shards": q_corpus_shards,
         "entity_timeline": q_entity_timeline,
         "boilerplate_strip": q_boilerplate_strip,
+        # (b) round-3 err rows, array columns now CSV-serialized
+        "multimodal_resize": q_multimodal_resize,
+        "frame_sample": q_frame_sample,
+        # (c) last driver-checked in round 2
         "pricing_summary": q_pricing_summary,
         "top_events": q_top_events,
         "sessionize": q_sessionize,
+        # (d) flagship core-resolution guards (green r02+r03)
+        "conv_assembly": q_conv_assembly,
+        "blocking_keys": q_blocking_keys,
+        "candidate_pairs": q_candidate_pairs,
+        "scored_pairs": q_scored_pairs,
+        "connected_components": q_connected_components,
+        "cluster_sizes": q_cluster_sizes,
+        "composite_score": q_composite_score,
+        "attribute_score_chain": q_attribute_score_chain,
+        "seeded_bfs": q_seeded_bfs,
+        "entity_closure": q_entity_closure,
+        "incremental_linkage": q_incremental_linkage,
+        # ---- end of driver window (50) ----
+        # tail: green in CORRECTNESS_r03; rotates into round 5's window
+        "conv_values": q_conv_values,
+        "pairs_levenshtein": q_pairs_levenshtein,
+        "blocking_quality": q_blocking_quality,
+        "pairs_jaro_winkler": q_pairs_jaro_winkler,
+        "soundex_codes": q_soundex_codes,
+        "pairs_date_window": q_pairs_date_window,
+        "date_parse_chain": q_date_parse_chain,
+        "seeded_scope_exclude": q_seeded_scope_exclude,
+        "seeded_scope_include": q_seeded_scope_include,
+        "incremental_linkage_delta": q_incremental_linkage_delta,
+        "term_coercion": q_term_coercion,
+        "weight_gating": q_weight_gating,
+        "per_field_or": q_per_field_or,
+        "json_extract": q_json_extract,
+        "bfs_hops": q_bfs_hops,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "near_dup_pairs": q_near_dup_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
+        "ann_topk": q_ann_topk,
+        "lsh_buckets": q_lsh_buckets,
+        "incremental_ann_index": q_incremental_ann_index,
+        "ann_index_stream_topk": q_ann_index_stream_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_quality": q_text_quality,
+        "paragraph_dedup": q_paragraph_dedup,
+        "repetition_metrics": q_repetition_metrics,
+        "language_id": q_language_id,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "multimodal_decode": q_multimodal_decode,
+        "pii_scrub": q_pii_scrub,
+        "vocab_stats": q_vocab_stats,
     }
 
 

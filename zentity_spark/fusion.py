@@ -104,9 +104,15 @@ def entity_timeline(runs: DataFrame, run_col: str = "run_seq",
 
     Input: one row per (run, entity, attr) observation. Consecutive
     OBSERVATIONS (ordered by `run_col` within an (entity, attr)) that
-    carry the same value collapse into one interval; a change — or a
-    value disappearing and later returning — opens a new interval
-    (null-safe comparison: NULL is a value, not a wildcard). Returns
+    carry the same value collapse into one interval; a changed value
+    opens a new interval (null-safe comparison: NULL is a value, not a
+    wildcard). "Disappearance" only splits an interval when it is
+    OBSERVED as a NULL-valued row for that run: lag() compares
+    consecutive observations, not consecutive run_seq values, so an
+    (entity, attr) simply ABSENT from an intermediate run is bridged
+    into one interval (absence means "this run didn't assert the
+    attribute", not "the value was retracted"). Emit explicit NULL
+    observations if retraction should break intervals. Returns
     (entity_id, attr, value, first_run, last_run, n_runs, is_current)
     with is_current marking each (entity, attr)'s most recent interval.
 

@@ -18,7 +18,9 @@ which is the Iceberg crash-consistency contract.
 
 Swapping in real Iceberg is a one-line change per call site
 (`df.writeTo(table).createOrReplace()` / `spark.read.format("iceberg")`),
-kept behind this facade.
+kept behind this facade; `iceberg_available()` is the capability probe
+deciding which branch a deployment takes (always False in this sandbox —
+documented substitution, no behavior change here).
 """
 
 from __future__ import annotations
@@ -31,6 +33,31 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_ICEBERG_PROBE: bool | None = None
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg Spark runtime is on the JVM classpath.
+
+    Probes for the DataSource registration class rather than attempting
+    a read (no table needed, no side effects). Deployments with the
+    `iceberg-spark-runtime` jar + a configured catalog should route
+    SnapshotStore commits through `df.writeTo(...)` and reads through
+    `spark.read.format("iceberg")`; this sandbox has no jar and no
+    network, so the parquet+manifest analog above is used everywhere
+    (same commit semantics, documented substitution). Cached per
+    process: the classpath cannot change under a running JVM."""
+    global _ICEBERG_PROBE
+    if _ICEBERG_PROBE is None:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.source.IcebergSource"
+            )
+            _ICEBERG_PROBE = True
+        except Exception:
+            _ICEBERG_PROBE = False
+    return _ICEBERG_PROBE
 
 
 class SnapshotStore:

@@ -108,11 +108,30 @@ def _check_stream_meta(output_root: str, n_buckets: int,
         with open(meta_path) as fh:
             have = json.load(fh)
         if have != want:
+            hint = ""
+            if (have.get("model_fingerprint") != want["model_fingerprint"]
+                    and {k: v for k, v in have.items()
+                         if k != "model_fingerprint"}
+                    == {k: v for k, v in want.items()
+                        if k != "model_fingerprint"}):
+                # only the fingerprint differs — for dedup stores that
+                # can mean the PINNED PARAMETER SET changed between
+                # versions (e.g. max_block_size joined it in session
+                # 15), so identical user parameters still mismatch
+                hint = (
+                    " NOTE: only the parameter fingerprint differs. If "
+                    "you passed the same parameters, the set of pinned "
+                    "parameters grew in a newer version (fingerprints "
+                    "are not comparable across that change) — rebuild "
+                    "the store by re-streaming the inputs (stores are "
+                    "derived state)."
+                )
             raise ValueError(
                 f"stream store at {output_root} was created with {have}; "
                 f"cannot resume with {want} — bucket layout, clusters "
                 "mode, and the entity model are fixed for a store's "
-                "lifetime (committed keys were computed under them)"
+                "lifetime (committed keys were computed under them)."
+                + hint
             )
         return
     has_tables = os.path.isdir(output_root) and any(
@@ -1211,14 +1230,21 @@ def incremental_ann_index(spark: SparkSession, stream_embeddings: DataFrame,
             return  # replayed batch after restart: fully committed
         # ids normalized to LONG at ingest: xxhash64 is type-sensitive
         # (int 5 and long 5 land in different rb dirs), and
-        # ann_index_query probes with a long — a non-integral id fails
-        # the ANSI cast loudly here instead of making the store
-        # silently unqueryable
+        # ann_index_query probes with a long. Under default (non-ANSI)
+        # Spark a non-integral/string id casts to NULL silently, so
+        # guard explicitly: a NULL-keyed vector row would be committed
+        # but unqueryable (the probe joins on a long vec_id).
         vecs = batch_emb.select(
             F.col("vec_id").cast("long").alias("vec_id"),
             "label", "embedding",
             vec_norm(F.col("embedding")).alias("nrm"),
         ).dropDuplicates(["vec_id"]).localCheckpoint()
+        if vecs.where(F.col("vec_id").isNull()).limit(1).count():
+            raise ValueError(
+                "vec_id must be integral (castable to LONG): a NULL or "
+                "non-integral id would commit a vector row no query can "
+                "reach (ann_index_query probes by long vec_id)"
+            )
         _commit_once(
             store,
             vecs.withColumn("rb", _bucket_of("vec_id", n_buckets)),
