@@ -904,6 +904,8 @@ def _run_incremental_linkage(spark, sf_dir, clusters_mode: str):
         (src,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
         shutil.move(src, os.path.join(in_dir, f"batch{i}.parquet"))
     stream = read_turn_stream(spark, in_dir, max_files_per_trigger=1)
+    # one maintenance pass at the final batch (result-invariant; see
+    # _build_ann_stream_store note)
     q = incremental_resolve(
         spark,
         stream,
@@ -911,6 +913,7 @@ def _run_incremental_linkage(spark, sf_dir, clusters_mode: str):
         os.path.join(tmp, "out"),
         checkpoint_dir=os.path.join(tmp, "ck"),
         clusters_mode=clusters_mode,
+        maintain_every=3,
     )
     q.awaitTermination()
     store = SnapshotStore(os.path.join(tmp, "out"))
@@ -1596,9 +1599,13 @@ def _build_ann_stream_store(spark, sf_dir, bands=2, r=6, dim=64):
         "vec_id", "label", "embedding").schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    # one maintenance pass at the final batch (result-invariant —
+    # compaction parity is pinned by test_compaction; per-batch
+    # maintenance on a 3-batch demo stream is pure fixed overhead)
     q = incremental_ann_index(
         spark, stream, os.path.join(tmp, "out"), dim=dim, bands=bands,
-        planes_per_band=r, checkpoint_dir=os.path.join(tmp, "ck"))
+        planes_per_band=r, checkpoint_dir=os.path.join(tmp, "ck"),
+        maintain_every=3)
     q.awaitTermination()
     return os.path.join(tmp, "out")
 
@@ -2446,9 +2453,12 @@ def q_incremental_dedup(spark, sf_dir):
         shutil.move(src, os.path.join(in_dir, f"batch{i}.parquet"))
     stream = (spark.readStream.schema("doc_id long, text string")
               .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    # one maintenance pass at the final batch (result-invariant; see
+    # _build_ann_stream_store note)
     q = incremental_dedup(spark, stream, os.path.join(tmp, "out"),
                           k=3, bands=4, jaccard_threshold=0.2,
-                          checkpoint_dir=os.path.join(tmp, "ck"))
+                          checkpoint_dir=os.path.join(tmp, "ck"),
+                          maintain_every=3)
     q.awaitTermination()
     keep = current_keepers(spark, SnapshotStore(os.path.join(tmp, "out")))
     return keep.select(

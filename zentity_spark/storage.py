@@ -60,6 +60,22 @@ def iceberg_available(spark: SparkSession) -> bool:
     return _ICEBERG_PROBE
 
 
+def _parquet_rows(data_path: str) -> int:
+    """Sum num_rows over every part file's footer under data_path
+    (recursive: partitioned writes nest hive-style dirs). Local-FS
+    analog of Iceberg's manifest record counts; an empty write has no
+    part files and correctly counts 0."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(data_path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(dirpath, fn)).metadata.num_rows
+    return total
+
+
 class SnapshotStore:
     def __init__(self, root: str):
         self.root = root
@@ -136,12 +152,17 @@ class SnapshotStore:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_path)
 
-        spark = df.sparkSession
-        # Read back with the writer's schema: an empty partitioned write
-        # leaves no part files, so schema inference would fail (Iceberg
-        # keeps the schema in table metadata for the same reason).
+        # Schema from the writer, not read-back inference: an empty
+        # partitioned write leaves no part files (Iceberg keeps the
+        # schema in table metadata for the same reason).
         schema_json = df.schema.json()
-        rows = spark.read.schema(df.schema).parquet(data_path).count()
+        # Row count from the parquet FOOTERS, driver-side — exactly how
+        # Iceberg manifests record per-file counts at write time. This
+        # replaces a read-back Spark count job per commit (pure
+        # scheduling overhead on small micro-batches: ~0.2-0.5s each,
+        # dozens per stream) and still validates the write (a truncated
+        # part file fails footer parse here, loudly).
+        rows = _parquet_rows(data_path)
         # next sequence from manifest FILES (not live snapshots: replaced
         # manifests stay on disk, and reusing their number would clobber)
         seq = 1 + max(
