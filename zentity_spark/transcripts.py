@@ -117,7 +117,8 @@ def _empty():
     return F.array().cast("array<string>")
 
 
-def eq_keys_for_kind(kind: Column, raw: Column) -> Column:
+def eq_keys_for_kind(kind: Column, raw: Column,
+                     norm: Column | None = None) -> Column:
     """Equality keys: sharing one asserts an attribute match.
 
     Key spaces: exact/nested/normalized share the raw string space — safe
@@ -126,7 +127,8 @@ def eq_keys_for_kind(kind: Column, raw: Column) -> Column:
     the direction that uses the normalized field. Soundex keys are
     prefixed 'sx:' (codes must not collide with raw values).
     """
-    norm = F.regexp_replace(raw, "[^a-zA-Z0-9]", "")
+    if norm is None:
+        norm = F.regexp_replace(raw, "[^a-zA-Z0-9]", "")
     return (
         F.when(kind.isin("exact", "nested"), F.array(raw))
         .when(kind == "normalized", F.array(norm))
@@ -157,7 +159,8 @@ def _deletion_keys(norm: Column) -> Column:
 _DELETION_SAFE_THRESHOLDS = ("0", "1", "0.0", "1.0")
 
 
-def blk_keys_for_kind(kind: Column, raw: Column, ts: Column, threshold: Column) -> Column:
+def blk_keys_for_kind(kind: Column, raw: Column, ts: Column, threshold: Column,
+                      norm: Column | None = None) -> Column:
     """Blocking-only recall keys: candidates sharing one are VERIFIED
     pairwise, never matched outright.
 
@@ -169,8 +172,16 @@ def blk_keys_for_kind(kind: Column, raw: Column, ts: Column, threshold: Column) 
       normalized form ∪ soundex — the phonetic key keeps recall for
       2-edit/phonetic pairs (coarse; the block-size cap and AQE skew
       handling bound the damage on hot codes).
+
+    Pass `norm` as a MATERIALIZED column when calling in a hot path:
+    expressions captured inside _deletion_keys' transform lambda
+    re-evaluate PER ELEMENT (PLANS.md rule 1), so an inline
+    regexp_replace here runs L times per value — measured 17s of the
+    21.5s values stage at 200k entities (round 4); a plain column
+    reference is free.
     """
-    norm = F.regexp_replace(raw, "[^a-zA-Z0-9]", "")
+    if norm is None:
+        norm = F.regexp_replace(raw, "[^a-zA-Z0-9]", "")
     bucket = F.floor(ts / threshold.cast("double"))
     coarse = F.array_distinct(
         F.concat(
@@ -258,10 +269,17 @@ def values_from_parsed(spark: SparkSession, parsed: DataFrame,
     ).otherwise(F.lit(None).cast("double"))
     return (
         joined.withColumn("ts", ts)
-        .withColumn("eq_keys", eq_keys_for_kind(F.col("kind"), F.col("raw")))
+        # materialize the normalized form ONCE per row: captured inside
+        # the deletion-keys transform lambda it would re-evaluate per
+        # element (PLANS.md rule 1 — this exact inline was 17s of the
+        # 21.5s values stage at 200k entities, round 4)
+        .withColumn("_norm", F.regexp_replace(F.col("raw"), "[^a-zA-Z0-9]", ""))
+        .withColumn("eq_keys", eq_keys_for_kind(F.col("kind"), F.col("raw"),
+                                                norm=F.col("_norm")))
         .withColumn(
             "blk_keys",
-            blk_keys_for_kind(F.col("kind"), F.col("raw"), F.col("ts"), F.col("threshold")),
+            blk_keys_for_kind(F.col("kind"), F.col("raw"), F.col("ts"),
+                              F.col("threshold"), norm=F.col("_norm")),
         )
         .select(
             "record_id", "source", "attribute", "field", "matcher", "kind",
