@@ -132,3 +132,35 @@ def test_iceberg_real_roundtrip(spark):
     from zentity_spark.storage import iceberg_available
 
     assert iceberg_available(spark)
+
+
+def test_key_builders_norm_param_parity(spark):
+    """The materialized-norm fast path (PLANS.md rule 1: an inline
+    regexp_replace captured in the deletion-keys transform lambda
+    re-evaluates per generated key) must produce byte-identical keys
+    to the inline form for every kind."""
+    from zentity_spark.transcripts import blk_keys_for_kind, eq_keys_for_kind
+
+    rows = spark.createDataFrame(
+        [("exact", "A-li ce!", None, None),
+         ("normalized", "A-li ce!", None, None),
+         ("soundex", "Robert", None, None),
+         ("fuzzy", "jon.smith", None, "1"),
+         ("levenshtein", "jon.smith", None, "AUTO"),
+         ("jaro_winkler", "catherine", None, "0.9"),
+         ("date_window", "x", 1700000000.0, "86400"),
+         ("fuzzy", "", None, "1")],
+        "kind string, raw string, ts double, threshold string",
+    ).withColumn("_norm", F.regexp_replace(F.col("raw"), "[^a-zA-Z0-9]", ""))
+    got = rows.select(
+        eq_keys_for_kind(F.col("kind"), F.col("raw"),
+                         norm=F.col("_norm")).alias("eq"),
+        blk_keys_for_kind(F.col("kind"), F.col("raw"), F.col("ts"),
+                          F.col("threshold"), norm=F.col("_norm")).alias("blk"),
+    ).collect()
+    want = rows.select(
+        eq_keys_for_kind(F.col("kind"), F.col("raw")).alias("eq"),
+        blk_keys_for_kind(F.col("kind"), F.col("raw"), F.col("ts"),
+                          F.col("threshold")).alias("blk"),
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
