@@ -3,7 +3,11 @@ judged artifact, so its max-over-windows top-level rules are pinned
 here with fake probes (no Spark session needed).
 
 - a burst-inflated probe (low leg > 1.3x the best clean same-levels
-  low leg) is flagged, lands in history, and never promotes;
+  reference while the high leg stays within 1.1x of it — the
+  asymmetric hypervisor-burst signature) is flagged, lands in history,
+  and never promotes;
+- a symmetric both-legs-up probe (code-speedup signature, round-4
+  ADVICE) is NOT flagged and can promote;
 - a clean better probe takes the top level;
 - probe spam cannot evict the best clean probe from the truncated
   history (the round-4 data-loss repair);
@@ -88,3 +92,54 @@ def test_worse_clean_probe_does_not_displace(cache, monkeypatch):
     d = json.load(open(cache))
     assert d["efficiency"] == 0.846
     assert not d["latest"].get("burst_inflated")
+
+
+# both legs ~2x the banked reference: a genuine code speedup (or a
+# faster host window) raises low AND high together — the round-4
+# low-leg-only rule flagged these forever (round-4 ADVICE, medium)
+SPEEDUP = {"throughput_local2": 40100.0, "throughput_local8": 137000.0,
+           "levels": [2, 8], "pinned": True, "efficiency": 0.8542}
+
+
+def test_symmetric_speedup_is_clean_and_promotes(cache, monkeypatch):
+    _run(monkeypatch, SPEEDUP)
+    d = json.load(open(cache))
+    assert not d["latest"].get("burst_inflated")
+    assert d["efficiency"] == 0.8542
+    assert d["throughput_local2"] == 40100.0
+    # the artifact self-documents the both-legs-up comparison
+    rc = d["latest"]["ref_comparison"]
+    assert rc["low_vs_ref"] > 1.3 and rc["high_vs_ref"] > 1.1
+
+
+def test_symmetric_speedup_rebaselines_the_reference(cache, monkeypatch):
+    """After a clean speedup probe lands, a subsequent one-sided burst
+    AT THE NEW SPEED is judged against the new reference, and a clean
+    probe at the new speed is not flagged."""
+    _run(monkeypatch, SPEEDUP)
+    # one-sided burst in the new regime: low leg 2x the new ref's low,
+    # high leg pinned at the new ref's high
+    burst2 = {"throughput_local2": 80500.0, "throughput_local8": 140000.0,
+              "levels": [2, 8], "pinned": True, "efficiency": 0.4348}
+    _run(monkeypatch, burst2)
+    d = json.load(open(cache))
+    assert d["latest"]["burst_inflated"] is True
+    assert d["efficiency"] == 0.8542
+    # clean probe at the new speed: within 1.3x of the NEW reference
+    clean2 = {"throughput_local2": 41000.0, "throughput_local8": 139000.0,
+              "levels": [2, 8], "pinned": True, "efficiency": 0.8476}
+    _run(monkeypatch, clean2)
+    d = json.load(open(cache))
+    assert not d["latest"].get("burst_inflated")
+    assert d["efficiency"] == 0.8542  # best clean still tops
+
+
+def test_old_onesided_burst_still_flagged(cache, monkeypatch):
+    """The historical burst signature (low 1.5x up, high leg at/below
+    the reference) keeps being flagged under the asymmetric rule."""
+    one_sided = {"throughput_local2": 30614.6, "throughput_local8": 48933.3,
+                 "levels": [2, 8], "pinned": True, "efficiency": 0.3996}
+    _run(monkeypatch, one_sided)
+    d = json.load(open(cache))
+    assert d["latest"]["burst_inflated"] is True
+    assert d["efficiency"] == 0.846

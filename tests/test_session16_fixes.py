@@ -8,21 +8,30 @@ from pyspark.sql import functions as F
 
 from zentity_spark.entry_queries import all_oracles, all_queries
 
-# the 34 operators that had never had a driver CORRECTNESS row through
-# round 3 (VERDICT r3 "What's missing" item 1) — they MUST sit inside
-# the driver's 50-entry window this round
-NEVER_CHECKED = [
-    "pack_sequences", "corpus_curation", "near_dup_dedup",
-    "incremental_dedup", "decontaminate", "stratified_sample",
-    "domain_mixture", "semantic_dedup", "lm_quality", "tfidf_keywords",
-    "substring_spans", "substring_dedup", "sorted_neighborhood",
-    "fellegi_sunter", "fs_tf_adjustment", "threshold_sweep",
-    "stable_entity_ids", "cluster_diff", "clerical_review_queue",
-    "inferred_pairs", "review_decisions_applied",
-    "review_decision_violations", "cluster_graph_metrics",
-    "golden_record", "meta_blocking", "bcubed_lsh", "cluster_eval",
-    "muc_lsh", "vmeasure_lsh", "block_stats", "doc_chunks",
-    "corpus_shards", "entity_timeline", "boilerplate_strip",
+# the 37 rows whose last driver CORRECTNESS check was round 3
+# (VERDICT r4 "Next round" item 1) — round 5 rotates them into the
+# driver's 50-entry window so union(r04, r05) covers all 87 at HEAD
+R03_TAIL = [
+    "conv_values", "pairs_levenshtein", "blocking_quality",
+    "pairs_jaro_winkler", "soundex_codes", "pairs_date_window",
+    "date_parse_chain", "seeded_scope_exclude", "seeded_scope_include",
+    "incremental_linkage_delta", "term_coercion", "weight_gating",
+    "per_field_or", "json_extract", "bfs_hops", "dedup_exact",
+    "minhash_signatures", "near_dup_pairs", "ngram_jaccard", "simhash",
+    "simhash_near_dup", "ann_topk", "lsh_buckets",
+    "incremental_ann_index", "ann_index_stream_topk", "ann_lsh_topk",
+    "ann_ivf_topk", "embedding_near_dup", "text_quality",
+    "paragraph_dedup", "repetition_metrics", "language_id",
+    "token_counts", "fingerprints", "multimodal_decode", "pii_scrub",
+    "vocab_stats",
+]
+
+# flagship core-resolution guards kept inside every round's window
+FLAGSHIP = [
+    "conv_assembly", "blocking_keys", "candidate_pairs", "scored_pairs",
+    "connected_components", "cluster_sizes", "composite_score",
+    "attribute_score_chain", "seeded_bfs", "entity_closure",
+    "incremental_linkage",
 ]
 
 
@@ -31,11 +40,9 @@ def test_driver_window_composition():
     names = list(qs)
     assert len(names) == 87
     window = set(names[:50])
-    missing = [n for n in NEVER_CHECKED if n not in window]
-    assert not missing, f"never-driver-checked queries outside window: {missing}"
-    # the round-3 err rows and the rows last checked in round 2
-    for n in ("multimodal_resize", "frame_sample", "pricing_summary",
-              "top_events", "sessionize"):
+    missing = [n for n in R03_TAIL if n not in window]
+    assert not missing, f"round-3-tail queries outside window: {missing}"
+    for n in FLAGSHIP + ["pricing_summary", "top_events"]:
         assert n in window, n
     # every query has an oracle (keep the all-hash-green streak)
     oracles = all_oracles()

@@ -86,40 +86,51 @@ def main():
     # contended windows the hypervisor grants SMALL-core jobs burst
     # capacity, so the low-parallelism leg over-measures (observed
     # 30-38K turns/s at local2 vs the banked healthy-window 19.9K)
-    # while the high leg can't burst — the ratio collapses and the
-    # probe under-measures scaling, not the pipeline. Flag any probe
-    # whose low leg exceeds the best same-levels healthy local{lo}
-    # reference by >1.3x; flagged probes stay in history (with the
-    # flag) but never promote to the top level or best_window.
-    lo = result["levels"][0]
-    refs = [
-        h.get(f"throughput_local{lo}")
-        for h in history
+    # while the high leg CAN'T burst — the ratio collapses and the
+    # probe under-measures scaling, not the pipeline. The signature is
+    # ASYMMETRIC: low leg >1.3x the best clean same-levels reference
+    # while the high leg stays within ~1.1x of it. A genuine code
+    # speedup raises BOTH legs together and must stay clean — the
+    # round-4 low-leg-only rule flagged every post-speedup probe
+    # (2026-08-21 history: both legs ~2x the 08-19 reference, flagged)
+    # and would have pinned the stale record forever (round-4 ADVICE).
+    # Flagged probes stay in history (with the flag) but never promote
+    # to the top level or best_window.
+    lo, hi = result["levels"][0], result["levels"][1]
+    t_lo, t_hi = f"throughput_local{lo}", f"throughput_local{hi}"
+    same_level_clean = [
+        h for h in history
         if h.get("levels") == result["levels"]
-        and not h.get("burst_inflated")
-        and h.get(f"throughput_local{lo}")
+        and not h.get("burst_inflated") and h.get(t_lo) and h.get(t_hi)
     ]
     bw_prev = prev.get("best_window", {})
-    if bw_prev.get("levels") == result["levels"] and bw_prev.get(
-            f"throughput_local{lo}"):
-        refs.append(bw_prev[f"throughput_local{lo}"])
-    if refs:
-        # the reference is the low-leg throughput of the BEST same-level
-        # probe (healthy windows produce the best ratios, so its low leg
-        # is the un-burst baseline)
-        best_ref = max(
-            (h for h in history
-             if h.get("levels") == result["levels"]
-             and not h.get("burst_inflated")
-             and h.get(f"throughput_local{lo}")),
-            key=lambda h: h.get("efficiency", 0.0), default=None)
-        ref = (best_ref or {}).get(f"throughput_local{lo}") or max(refs)
-        if result[f"throughput_local{lo}"] > 1.3 * ref:
+    if (bw_prev.get("levels") == result["levels"] and bw_prev.get(t_lo)
+            and bw_prev.get(t_hi)):
+        same_level_clean.append(bw_prev)
+    if same_level_clean:
+        # the reference is the BEST same-level clean probe (healthy
+        # windows produce the best ratios, so its legs are the un-burst
+        # baseline); both legs must come from the SAME record so the
+        # asymmetry test is internally consistent
+        ref = max(same_level_clean, key=lambda h: h.get("efficiency", 0.0))
+        low_inflated = result[t_lo] > 1.3 * ref[t_lo]
+        high_also_up = result[t_hi] > 1.1 * ref[t_hi]
+        if low_inflated and not high_also_up:
             result["burst_inflated"] = True
             result_summary["burst_inflated"] = True
             print(f"burst-inflated probe: local{lo} "
-                  f"{result[f'throughput_local{lo}']:.0f} > 1.3x healthy "
-                  f"reference {ref:.0f}; history-only", file=sys.stderr)
+                  f"{result[t_lo]:.0f} > 1.3x clean reference "
+                  f"{ref[t_lo]:.0f} while local{hi} {result[t_hi]:.0f} "
+                  f"is within 1.1x of {ref[t_hi]:.0f}; history-only",
+                  file=sys.stderr)
+        elif low_inflated:
+            # both legs up: code-speedup / faster-window signature —
+            # record the comparison so the artifact is self-explaining
+            result_summary["ref_comparison"] = {
+                "ref_measured_at": ref.get("measured_at"),
+                "low_vs_ref": round(result[t_lo] / ref[t_lo], 2),
+                "high_vs_ref": round(result[t_hi] / ref[t_hi], 2),
+            }
 
     history.append(result_summary)
     # Truncate to 16 — but NEVER evict the max-efficiency clean probe:

@@ -347,12 +347,15 @@ def bcubed_metrics(pred: DataFrame, gold: DataFrame,
     )
     return agg.select(
         # coalesce: SUM over the zero-row contingency (no shared ids
-        # after the inner join) is NULL — report n_records = 0 so the
-        # 'keeps downstream folds total' promise holds in the
-        # degenerate case too
+        # after the inner join) is NULL — report n_records = 0 AND the
+        # ratio metrics 0.0 (not NULL/NULL = NULL) so a present row
+        # always carries non-null metrics and downstream weighted folds
+        # stay total; weight by n_records to ignore the empty case
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_records"),
-        (F.col("p_sum") / F.col("n")).alias("bcubed_precision"),
-        (F.col("r_sum") / F.col("n")).alias("bcubed_recall"),
+        F.when(F.col("n") > 0, F.col("p_sum") / F.col("n"))
+         .otherwise(F.lit(0.0)).alias("bcubed_precision"),
+        F.when(F.col("n") > 0, F.col("r_sum") / F.col("n"))
+         .otherwise(F.lit(0.0)).alias("bcubed_recall"),
         F.when(
             (F.col("p_sum") + F.col("r_sum")) > 0,
             2.0 * (F.col("p_sum") / F.col("n")) * (F.col("r_sum") / F.col("n"))
@@ -418,16 +421,20 @@ def pairwise_cluster_metrics(pred: DataFrame, gold: DataFrame,
     rec = F.when(F.col("sum_g") > 0, tp_d / sum_g_d).otherwise(F.lit(0.0))
     return j.select(
         # coalesce: SUM over the zero-row contingency (no shared ids
-        # after the inner join) is NULL — report n_records = 0 so the
-        # 'keeps downstream folds total' promise holds in the
-        # degenerate case too
+        # after the inner join) is NULL — report n_records = 0, pair_tp
+        # 0, and non-null ratios so a present row always carries
+        # non-null metrics; weighted folds key off n_records
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_records"),
-        F.col("tp").cast("long").alias("pair_tp"),
+        F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("pair_tp"),
         prec.alias("pair_precision"),
         rec.alias("pair_recall"),
         F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
          .otherwise(F.lit(0.0)).alias("pair_f1"),
-        F.when(denom == 0, F.lit(1.0))
+        # n < 2 ⇒ no pairs at all: the ultimate trivially-identical
+        # case (and exp_idx's total=0 division never evaluates — the
+        # matched CaseWhen branch is the only one run)
+        F.when(F.coalesce(F.col("n"), F.lit(0)) < 2, F.lit(1.0))
+         .when(denom == 0, F.lit(1.0))
          .otherwise((tp_d - exp_idx) / denom).alias("ari"),
     )
 

@@ -64,13 +64,20 @@ def _parquet_rows(data_path: str) -> int:
     """Sum num_rows over every part file's footer under data_path
     (recursive: partitioned writes nest hive-style dirs). Local-FS
     analog of Iceberg's manifest record counts; an empty write has no
-    part files and correctly counts 0."""
+    part files and correctly counts 0.
+
+    Matches Spark's HadoopFsRelation pathFilter: any path component
+    starting with '_' or '.' (_temporary/ staging dirs, ._COPYING_
+    files, _SUCCESS markers) is invisible to readers, so it must not be
+    counted here either — a leftover staging part file would otherwise
+    make the manifest over-count what a read-back returns."""
     import pyarrow.parquet as pq
 
     total = 0
-    for dirpath, _dirs, files in os.walk(data_path):
+    for dirpath, dirs, files in os.walk(data_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for fn in files:
-            if fn.endswith(".parquet"):
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
                 total += pq.ParquetFile(
                     os.path.join(dirpath, fn)).metadata.num_rows
     return total
