@@ -369,6 +369,17 @@ def main():
                       *(f"throughput_local{n}" for n in scaling.get("levels", [])))
             if k in scaling
         }
+        # the banked top level is max-over-windows and may predate HEAD;
+        # surface the freshest clean probe too so the artifact answers
+        # "was scaling re-evidenced at THIS code" on its own
+        clean = [h for h in scaling.get("history", [])
+                 if not h.get("burst_inflated") and h.get("measured_at")]
+        if clean:
+            fresh = max(clean, key=lambda h: h["measured_at"])
+            scaling_summary["freshest_clean_probe"] = {
+                k: fresh[k] for k in ("measured_at", "efficiency", "levels")
+                if k in fresh
+            }
     out = {
         "metric": "resolve_all_wallclock",
         "value": round(wall, 3),

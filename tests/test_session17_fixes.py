@@ -61,6 +61,55 @@ def test_cluster_metrics_zero_universe_all_non_null(spark):
     assert row["pair_tp"] == 0 and row["ari"] == 1.0
 
 
+def test_resolve_all_batch_path_never_collects_data(spark, monkeypatch):
+    """PLANS.md's 'no collect() in the batch path' claim, enforced
+    (round-4 VERDICT item 3): resolve_all must never route through the
+    request-scoped resolve._collect_with_budget, and — with the CC
+    driver fast path disabled (driver_edge_cap=0 forces the fully
+    distributed star loop) — every DataFrame.collect during the whole
+    batch comes from a documented bounded fold:
+      _signature            1-row convergence hash per star round
+      global_rank/cumsum    O(#partitions) offset rows
+      resolve_physical_paths schema-sized (source, path) distinct
+    Anything else collecting data rows on this path is a scale bug."""
+    import functools
+    import sys
+
+    import zentity_spark.clustering as cl
+    import zentity_spark.pipeline as pl
+    import zentity_spark.resolve as rv
+    from pyspark.sql import DataFrame
+    from tests.conftest import load_reference_model
+    from tests.fixture_data import fixture_transcripts
+    from zentity_spark.model import Model
+
+    def _boom(*a, **k):
+        raise AssertionError("_collect_with_budget entered from resolve_all")
+
+    monkeypatch.setattr(rv, "_collect_with_budget", _boom)
+    monkeypatch.setattr(
+        pl, "connected_components",
+        functools.partial(cl.connected_components, driver_edge_cap=0))
+
+    callers = []
+    real_collect = DataFrame.collect
+
+    def spy(self):
+        callers.append(sys._getframe(1).f_code.co_name)
+        return real_collect(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    model = Model(load_reference_model("TestEntityModelA.json"))
+    turns = fixture_transcripts(spark)
+    result = pl.resolve_all(spark, turns, model)
+    n = result.clusters.count()
+    assert n > 0
+    allowed = {"_signature", "global_rank", "global_cumsum",
+               "resolve_physical_paths"}
+    bad = [c for c in callers if c not in allowed]
+    assert not bad, f"undocumented batch-path collects from: {bad}"
+
+
 def test_cluster_metrics_singleton_universe(spark):
     """n=1: no pairs exist — the ARI total C(1,2)=0 division must not
     evaluate (ANSI mode) and every metric stays non-null."""

@@ -27,6 +27,30 @@ Values render TYPED by the model attribute's type (number/boolean as
 raw JSON literals in their canonical Java serialization, string/date
 quoted) — matching the reference, which re-reads the base64-decoded
 serialized value as a JsonNode of the attribute's type.
+
+NON-FEATURES — ES-internal knobs with no snapshot-table analog,
+deliberately unimplemented (documented here so the coverage boundary
+vs ResolutionAction.java:122-161 is explicit):
+
+- `_seq_no`/`_primary_term` (include_seq_no_primary_term,
+  ResolutionAction.java:130) and `_version` (include_version,
+  ResolutionAction.java:132): ES per-document concurrency-control
+  internals. A parquet/Iceberg snapshot has no per-doc version cell;
+  the committed-snapshot lineage (storage.SnapshotStore manifests,
+  one immutable snapshot id per commit) is the engine-appropriate
+  substitute for "which version of the data did this read see".
+- `profile` (ResolutionAction.java:136): ES search-profiling dump.
+  Spark's substitute is the query plan itself — df.explain() and the
+  Spark UI SQL tab, which profile the ACTUAL distributed execution.
+- `search.preference` / `search.request_cache` /
+  `search.allow_partial_search_results` (+ batched_reduce_size,
+  max_concurrent_shard_requests, pre_filter_shard_size;
+  ResolutionAction.java:138-144, assembled Query.java:406-430):
+  shard-routing and shard-cache hints. Spark has no shard affinity to
+  steer; partial-results semantics are carried by the O9 per-query
+  timeout (resolve._collect_with_budget — a timed-out query
+  contributes zero hits and flags timed_out in the audit, the closest
+  analog to a fully timed-out shard set).
 """
 
 from __future__ import annotations

@@ -169,7 +169,12 @@ def _collect_with_budget(df: DataFrame, budget_s: float | None, tag: str):
     timed-out shard set), the traversal continues, and the caller
     records timed_out=true in the query audit log. Returns
     (rows, timed_out). budget_s=None short-circuits to a plain collect
-    (no job tag, no timer — zero overhead on the default path)."""
+    (no job tag, no timer — zero overhead on the default path).
+
+    Request-scoped ONLY: every call site sits under the seeded
+    traversal, whose hit set is bounded by max_docs_per_query — the
+    batch path (pipeline.resolve_all) never passes through here, which
+    tests/test_session17_fixes.py enforces with a collect audit."""
     if budget_s is None:
         return df.collect(), False
     sc = df.sparkSession.sparkContext
