@@ -517,6 +517,12 @@ def scaling_probe() -> dict:
         **{f"throughput_local{n}": round(best[n], 1) for n in levels},
         "levels": levels,
         "pinned": pin,
+        # workload shape, so downstream comparisons (burst detection
+        # keys on absolute per-leg throughput) can prefer same-size
+        # references — a 200k-entity fast probe and a 400k full probe
+        # have comparable RATIOS but not identical absolute legs
+        "entities": int(os.environ.get("BENCH_SCALING_ENTITIES", "400000")),
+        "reps": reps,
         "efficiency": round((best[hi] / best[lo]) / (hi / lo), 4),
     }
 

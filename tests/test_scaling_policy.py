@@ -134,6 +134,51 @@ def test_symmetric_speedup_rebaselines_the_reference(cache, monkeypatch):
     assert d["efficiency"] == 0.8542  # best clean still tops
 
 
+def test_anomalous_efficiency_never_promotes(cache, monkeypatch):
+    """Efficiency > 1 (beyond noise) is physically impossible — the
+    signature of a mid-probe window flip inflating ONLY the high leg.
+    Such a probe must stay history-only."""
+    impossible = {"throughput_local2": 20000.0, "throughput_local8": 88000.0,
+                  "levels": [2, 8], "pinned": True, "efficiency": 1.1}
+    _run(monkeypatch, impossible)
+    d = json.load(open(cache))
+    assert d["latest"]["anomalous_efficiency"] is True
+    assert d["efficiency"] == 0.846
+
+
+def test_capped_window_probe_never_takes_top(cache, monkeypatch):
+    """A bandwidth-capped window can only DEPRESS a genuine ratio, so a
+    capped probe beating the record implies one leg was inflated by a
+    mid-probe window change — record it, never promote it."""
+    monkeypatch.setattr(rs, "weather", lambda: {
+        "membw_GBps": {2: 30.0, 8: 45.0},
+        "membw_scaling_2_to_8": 1.5, "busyloop_scaling_2_to_8": 4.0,
+    })
+    _run(monkeypatch, {**CLEAN, "efficiency": 0.9})
+    d = json.load(open(cache))
+    assert d["latest"]["host_bandwidth_capped"] is True
+    assert d["efficiency"] == 0.846
+
+
+def test_burst_reference_prefers_same_workload_size(cache, monkeypatch):
+    """A 200k-entity fast probe must be burst-judged against a clean
+    200k reference when one exists, not the 400k banked record whose
+    absolute legs aren't comparable."""
+    fast_clean = {"throughput_local2": 12000.0, "throughput_local8": 40000.0,
+                  "levels": [2, 8], "pinned": True, "efficiency": 0.8333,
+                  "entities": 200000}
+    _run(monkeypatch, fast_clean)
+    # low leg 1.5x the fast reference's low (burst) but BELOW 1.3x the
+    # 400k banked low — only the same-size reference catches it
+    fast_burst = {"throughput_local2": 18000.0, "throughput_local8": 40000.0,
+                  "levels": [2, 8], "pinned": True, "efficiency": 0.5556,
+                  "entities": 200000}
+    _run(monkeypatch, fast_burst)
+    d = json.load(open(cache))
+    assert d["latest"]["burst_inflated"] is True
+    assert d["efficiency"] == 0.846
+
+
 def test_old_onesided_burst_still_flagged(cache, monkeypatch):
     """The historical burst signature (low 1.5x up, high leg at/below
     the reference) keeps being flagged under the asymmetric rule."""

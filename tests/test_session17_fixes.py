@@ -28,7 +28,10 @@ def test_parquet_rows_skips_hidden_and_staging_paths(tmp_path):
     _write_part(os.path.join(root, ".staging", "part-y.parquet"), 100)
     _write_part(os.path.join(root, "._part-z.parquet"), 100)
     _write_part(os.path.join(root, "_committed_123.parquet"), 100)
-    assert _parquet_rows(root) == 12
+    # a hive partition dir on an underscore-named column IS read by
+    # Spark (shouldFilterOutPathName keeps '_' names containing '=')
+    _write_part(os.path.join(root, "_src=a", "part-00002.parquet"), 3)
+    assert _parquet_rows(root) == 15
 
 
 def test_parquet_rows_empty_dir(tmp_path):

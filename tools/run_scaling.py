@@ -60,9 +60,13 @@ def main():
 
     def summary(rec):
         keys = ("efficiency", "levels", "pinned", "measured_at",
-                "host_bandwidth_capped",
+                "host_bandwidth_capped", "entities", "reps",
                 *(k for k in rec if k.startswith("throughput_local")))
         return {k: rec[k] for k in keys if k in rec}
+
+    def is_clean(rec):
+        return (not rec.get("burst_inflated")
+                and not rec.get("anomalous_efficiency"))
 
     # every probe leaves a compact record in history: a degraded-window
     # probe overwriting the top level must never bury a banked >=0.8
@@ -101,12 +105,20 @@ def main():
     same_level_clean = [
         h for h in history
         if h.get("levels") == result["levels"]
-        and not h.get("burst_inflated") and h.get(t_lo) and h.get(t_hi)
+        and is_clean(h) and h.get(t_lo) and h.get(t_hi)
     ]
     bw_prev = prev.get("best_window", {})
     if (bw_prev.get("levels") == result["levels"] and bw_prev.get(t_lo)
             and bw_prev.get(t_hi)):
         same_level_clean.append(bw_prev)
+    # absolute per-leg throughput depends on workload size (a 200k fast
+    # probe vs the 400k full probe), so prefer references of the SAME
+    # entity count when any exist; legacy records without `entities`
+    # stay eligible only in the fallback
+    same_size = [h for h in same_level_clean
+                 if h.get("entities") == result.get("entities")]
+    if same_size:
+        same_level_clean = same_size
     if same_level_clean:
         # the reference is the BEST same-level clean probe (healthy
         # windows produce the best ratios, so its legs are the un-burst
@@ -132,12 +144,22 @@ def main():
                 "high_vs_ref": round(result[t_hi] / ref[t_hi], 2),
             }
 
+    # physically impossible ratio (>1 beyond noise): a window that
+    # inflates ONLY the high-parallelism leg mid-probe yields
+    # efficiency > 1.0 with no burst flag — never a real capability
+    # claim; keep it in history, never promote it
+    if result["efficiency"] > 1.02:
+        result["anomalous_efficiency"] = True
+        result_summary["anomalous_efficiency"] = True
+        print(f"anomalous efficiency {result['efficiency']} > 1.02; "
+              "history-only", file=sys.stderr)
+
     history.append(result_summary)
     # Truncate to 16 — but NEVER evict the max-efficiency clean probe:
     # probe spam in a bad day once rotated the banked 0.846 record out
     # and the top level silently slid to 0.76 (round-4 repair).
-    clean = [h for h in history if not h.get("burst_inflated")]
-    banked = max(clean, key=lambda r: r.get("efficiency", 0.0),
+    clean_hist = [h for h in history if is_clean(h)]
+    banked = max(clean_hist, key=lambda r: r.get("efficiency", 0.0),
                  default=None)
     history = history[-16:]
     if banked is not None and banked not in history:
@@ -145,7 +167,7 @@ def main():
 
     # best_window = best efficiency across all CLEAN probes seen,
     # including the about-to-be-overwritten top level
-    candidates = [c for c in (result_summary,) if not c.get("burst_inflated")]
+    candidates = [c for c in (result_summary,) if is_clean(c)]
     if "efficiency" in prev:
         candidates.append(summary(prev))
     if prev.get("best_window", {}).get("efficiency") is not None:
@@ -159,15 +181,23 @@ def main():
     # once (09:53Z, BASELINE.md) — a noisy-host capability measurement
     # is max-over-windows, with every sample and its weather retained
     # in `history` and the newest probe always visible under `latest`.
-    top = max((h for h in history if not h.get("burst_inflated")),
-              key=lambda r: r.get("efficiency", 0.0),
+    # promotion additionally requires a HEALTHY window
+    # (host_bandwidth_capped false, i.e. membw 2->8 >= 2.4 on both
+    # sides of the probe): a capped window can only depress a genuine
+    # ratio, so a capped probe beating the record means a mid-probe
+    # window flip inflated one leg — evidence, not a capability claim.
+    # Fall back to clean-any-window only if no healthy record exists.
+    promotable = [h for h in history
+                  if is_clean(h) and not h.get("host_bandwidth_capped")]
+    pool = promotable or clean_hist
+    top = max(pool, key=lambda r: r.get("efficiency", 0.0),
               default=result_summary)
     out = dict(result) if top is result_summary else {
         # probe-specific fields (throughputs, the burst flag) must not
         # leak from the newest probe into the PROMOTED entry's record
         **{k: v for k, v in result.items()
            if not k.startswith("throughput_local")
-           and k != "burst_inflated"},
+           and k not in ("burst_inflated", "anomalous_efficiency")},
         **top,
     }
     out["latest"] = result_summary

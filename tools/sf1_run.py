@@ -21,20 +21,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 UI_PORT = 4057
 
 
-def make_spark(cpus: int = 32):
+def make_spark(cpus: int = 32, ui_port: int = UI_PORT,
+               app: str = "zentity-sf1"):
     from pyspark.sql import SparkSession
 
     # bench.make_spark minus ui.enabled=false: the REST status API is
-    # the only way to read shuffle bytes without an event-log pass
+    # the only way to read shuffle bytes without an event-log pass.
+    # ui_port is a STARTING port — Spark retries upward on collision,
+    # which is why readers must use sc.uiWebUrl, never the number here.
     return (
         SparkSession.builder.master(f"local[{cpus}]")
-        .appName("zentity-sf1")
+        .appName(app)
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.ui.port", str(ui_port))
         .config("spark.driver.memory", "48g")
         .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
@@ -43,12 +46,27 @@ def make_spark(cpus: int = 32):
     )
 
 
-def shuffle_stats() -> dict:
-    base = f"http://localhost:{UI_PORT}/api/v1"
+def _stage_metrics(spark) -> list:
+    # sc.uiWebUrl is the ACTUALLY-BOUND UI address (Spark port-retries
+    # on collision), and a local UI serves exactly this app — a
+    # hardcoded localhost:PORT could silently read another app's
+    # stages after a collision
+    base = f"{spark.sparkContext.uiWebUrl}/api/v1"
     apps = json.load(urllib.request.urlopen(f"{base}/applications"))
     app_id = apps[0]["id"]
-    stages = json.load(urllib.request.urlopen(
+    return json.load(urllib.request.urlopen(
         f"{base}/applications/{app_id}/stages?status=complete"))
+
+
+def shuffle_totals(spark) -> tuple[int, int]:
+    stages = _stage_metrics(spark)
+    rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
+    wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    return rd, wr
+
+
+def shuffle_stats(spark) -> dict:
+    stages = _stage_metrics(spark)
     rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
     wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
     peak = max((s.get("shuffleWriteBytes", 0) for s in stages), default=0)
@@ -144,7 +162,7 @@ def main():
     lineage = {"key_capped_records": _n(key_capped),
                "dropped_blocks": None if dropped is None else _n(dropped)}
 
-    stats = shuffle_stats()
+    stats = shuffle_stats(spark)
     spark.stop()
     print(json.dumps({
         "n_entities": n_entities,

@@ -24,41 +24,12 @@ import json
 import os
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-UI_PORT = 4058
+from tools.sf1_run import make_spark, shuffle_totals  # noqa: E402
 
-
-def make_spark(cpus: int = 32):
-    from pyspark.sql import SparkSession
-
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("zentity-stress-fallbacks")
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", str(UI_PORT))
-        .config("spark.driver.memory", "48g")
-        .config("spark.io.compression.codec", "zstd")
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .getOrCreate()
-    )
-
-
-def shuffle_totals() -> tuple[int, int]:
-    base = f"http://localhost:{UI_PORT}/api/v1"
-    apps = json.load(urllib.request.urlopen(f"{base}/applications"))
-    app_id = apps[0]["id"]
-    stages = json.load(urllib.request.urlopen(
-        f"{base}/applications/{app_id}/stages?status=complete"))
-    rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
-    wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
-    return rd, wr
+UI_PORT = 4058  # starting port only; shuffle_totals reads sc.uiWebUrl
 
 
 def _assignment_hash(df):
@@ -118,12 +89,12 @@ def stress_cc(spark, n_nodes: int) -> dict:
 
     cl._signature = counting_sig
     try:
-        rd0, wr0 = shuffle_totals()
+        rd0, wr0 = shuffle_totals(spark)
         t = time.time()
         dist = cl.connected_components(edges).localCheckpoint()
         dist_h = _assignment_hash(dist)
         wall_dist = round(time.time() - t, 1)
-        rd1, wr1 = shuffle_totals()
+        rd1, wr1 = shuffle_totals(spark)
     finally:
         cl._signature = real_sig
 
@@ -173,20 +144,20 @@ def stress_salt(spark, hot_block_size: int) -> dict:
     )
     blocks = cold.union(hot).union(degen).localCheckpoint()
 
-    rd0, wr0 = shuffle_totals()
+    rd0, wr0 = shuffle_totals(spark)
     t = time.time()
     cand_salted, dropped = candidate_pairs(
         blocks, max_block_size=10_000, salt_threshold=2000, salt_target=500)
     salted_h = _pair_hash(cand_salted)
     wall_salted = round(time.time() - t, 1)
-    rd1, wr1 = shuffle_totals()
+    rd1, wr1 = shuffle_totals(spark)
 
     t = time.time()
     cand_plain, _ = candidate_pairs(
         blocks, max_block_size=10_000, salt_threshold=None)
     plain_h = _pair_hash(cand_plain)
     wall_plain = round(time.time() - t, 1)
-    rd2, wr2 = shuffle_totals()
+    rd2, wr2 = shuffle_totals(spark)
 
     dropped_rows = [r.asDict() for r in dropped.collect()]
     expect_hot_pairs = 3 * hot_block_size * (hot_block_size - 1) // 2
@@ -211,7 +182,7 @@ def stress_salt(spark, hot_block_size: int) -> dict:
 def main():
     n_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
     hot_block_size = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000
-    spark = make_spark()
+    spark = make_spark(ui_port=UI_PORT, app="zentity-stress-fallbacks")
     spark.sparkContext.setLogLevel("ERROR")
 
     from bench import host_weather_snapshot

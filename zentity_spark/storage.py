@@ -66,18 +66,24 @@ def _parquet_rows(data_path: str) -> int:
     analog of Iceberg's manifest record counts; an empty write has no
     part files and correctly counts 0.
 
-    Matches Spark's HadoopFsRelation pathFilter: any path component
-    starting with '_' or '.' (_temporary/ staging dirs, ._COPYING_
-    files, _SUCCESS markers) is invisible to readers, so it must not be
-    counted here either — a leftover staging part file would otherwise
-    make the manifest over-count what a read-back returns."""
+    Matches Spark's HadoopFsUtils.shouldFilterOutPathName: a path
+    component starting with '.' is always hidden; one starting with '_'
+    is hidden UNLESS it contains '=' (a hive partition dir like
+    `_col=v/` is read, `_temporary/` and `_SUCCESS` are not). A
+    leftover staging part file must not be counted (manifest would
+    over-count a read-back), and a partition column whose name starts
+    with '_' must still be counted (it would under-count)."""
     import pyarrow.parquet as pq
+
+    def hidden(name: str) -> bool:
+        return name.startswith(".") or (
+            name.startswith("_") and "=" not in name)
 
     total = 0
     for dirpath, dirs, files in os.walk(data_path):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        dirs[:] = [d for d in dirs if not hidden(d)]
         for fn in files:
-            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+            if fn.endswith(".parquet") and not hidden(fn):
                 total += pq.ParquetFile(
                     os.path.join(dirpath, fn)).metadata.num_rows
     return total
